@@ -1,0 +1,460 @@
+"""SigLIP two-tower encoder, TPU-first.
+
+Capabilities match the reference embedding service's model —
+ViT-SO400M/14 @ 384 with MAP-head pooling plus a 27-layer text tower,
+d_emb=1152, fp16 wire outputs (reference: clip_server.py:23-25,
+aitemplate/run.py:47-55 for the exact dims, misc/clip_accursed.py:31-43
+for the big_vision config) — but the implementation is built for XLA:
+
+- Patch embedding is a reshape + single MXU matmul (stride == kernel, so
+  the conv is exactly a blocked projection; no conv op needed).
+- All 27 encoder blocks run under one ``lax.scan`` over stacked block
+  params: one compiled block, 27 iterations — fast compiles, and the
+  block weights stream HBM->VMEM while the MXU works.
+- bf16 params/activations on the MXU, fp32 LayerNorm/softmax on the VPU.
+- Preprocessing (uint8 -> resize -> value_range(-1,1)) is traced into the
+  same XLA program, so a batch of raw images is a single device program
+  (the reference does PIL resize on a single Python thread,
+  clip_server.py:131-146, and notes it as a bottleneck).
+
+Weight compatibility: parameter names are our own; ``load_hf_siglip`` /
+``load_big_vision`` map checkpoints from HuggingFace
+(google/siglip-so400m-patch14-384) or big_vision layouts onto this tree
+(pattern: aitemplate/run.py:86-113's remapping table).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import mha
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class SigLIPConfig:
+    image_size: int = 384
+    patch_size: int = 14
+    width: int = 1152
+    depth: int = 27
+    mlp_dim: int = 4304
+    num_heads: int = 16
+    # text tower (So400m text variant: same trunk dims, seq 64, vocab 32k;
+    # misc/clip_accursed.py:32-34)
+    text_width: int = 1152
+    text_depth: int = 27
+    text_mlp_dim: int = 4304
+    text_num_heads: int = 16
+    vocab_size: int = 32_000
+    text_len: int = 64
+    d_emb: int = 1152
+    param_dtype: Any = jnp.bfloat16
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2  # 729
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.num_heads  # 72
+
+
+SO400M_14_384 = SigLIPConfig()
+
+
+def tiny_test_config() -> SigLIPConfig:
+    """A miniature config for unit tests / CPU mesh dry runs."""
+    return SigLIPConfig(
+        image_size=28,
+        patch_size=14,
+        width=64,
+        depth=2,
+        mlp_dim=128,
+        num_heads=4,
+        text_width=64,
+        text_depth=2,
+        text_mlp_dim=128,
+        text_num_heads=4,
+        vocab_size=128,
+        text_len=16,
+        d_emb=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialisation
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, d_in, d_out, dtype):
+    kw, _ = jax.random.split(key)
+    scale = (1.0 / d_in) ** 0.5
+    return {
+        "w": (jax.random.normal(kw, (d_in, d_out), jnp.float32) * scale).astype(dtype),
+        "b": jnp.zeros((d_out,), dtype),
+    }
+
+
+def _ln_init(dim, dtype):
+    return {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
+
+
+def _block_init(key, width, mlp_dim, dtype):
+    ks = jax.random.split(key, 6)
+    return {
+        "ln1": _ln_init(width, dtype),
+        "attn": {
+            "q": _dense_init(ks[0], width, width, dtype),
+            "k": _dense_init(ks[1], width, width, dtype),
+            "v": _dense_init(ks[2], width, width, dtype),
+            "o": _dense_init(ks[3], width, width, dtype),
+        },
+        "ln2": _ln_init(width, dtype),
+        "mlp": {
+            "fc1": _dense_init(ks[4], width, mlp_dim, dtype),
+            "fc2": _dense_init(ks[5], mlp_dim, width, dtype),
+        },
+    }
+
+
+def _stack_blocks(key, depth, width, mlp_dim, dtype):
+    keys = jax.random.split(key, depth)
+    blocks = [_block_init(k, width, mlp_dim, dtype) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_params(key: jax.Array, cfg: SigLIPConfig = SO400M_14_384) -> Params:
+    """Random-init the full two-tower parameter tree."""
+    dt = cfg.param_dtype
+    k_img, k_txt = jax.random.split(key)
+    ki = jax.random.split(k_img, 8)
+    kt = jax.random.split(k_txt, 6)
+
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    img = {
+        "patch_embed": _dense_init(ki[0], patch_dim, cfg.width, dt),
+        "pos_emb": (
+            jax.random.normal(ki[1], (cfg.num_patches, cfg.width), jnp.float32)
+            * 0.02
+        ).astype(dt),
+        "blocks": _stack_blocks(ki[2], cfg.depth, cfg.width, cfg.mlp_dim, dt),
+        "ln_final": _ln_init(cfg.width, dt),
+        "map_head": {
+            "probe": (
+                jax.random.normal(ki[3], (1, cfg.width), jnp.float32) * 0.02
+            ).astype(dt),
+            "q": _dense_init(ki[4], cfg.width, cfg.width, dt),
+            "k": _dense_init(ki[5], cfg.width, cfg.width, dt),
+            "v": _dense_init(ki[6], cfg.width, cfg.width, dt),
+            "o": _dense_init(ki[7], cfg.width, cfg.width, dt),
+            "ln": _ln_init(cfg.width, dt),
+            "mlp": {
+                "fc1": _dense_init(ki[4], cfg.width, cfg.mlp_dim, dt),
+                "fc2": _dense_init(ki[5], cfg.mlp_dim, cfg.width, dt),
+            },
+        },
+    }
+    txt = {
+        "token_emb": (
+            jax.random.normal(kt[0], (cfg.vocab_size, cfg.text_width), jnp.float32)
+            * 0.02
+        ).astype(dt),
+        "pos_emb": (
+            jax.random.normal(kt[1], (cfg.text_len, cfg.text_width), jnp.float32)
+            * 0.02
+        ).astype(dt),
+        "blocks": _stack_blocks(
+            kt[2], cfg.text_depth, cfg.text_width, cfg.text_mlp_dim, dt
+        ),
+        "ln_final": _ln_init(cfg.text_width, dt),
+        "head": _dense_init(kt[3], cfg.text_width, cfg.d_emb, dt),
+    }
+    # SigLIP loss temperature/bias (clip_accursed.py:42-43: bias_init=-10,
+    # temperature_init=10); only used in training.
+    return {
+        "img": img,
+        "txt": txt,
+        "t": jnp.asarray(np.log(10.0), jnp.float32),
+        "b": jnp.asarray(-10.0, jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x: jax.Array, p: Params) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def _dense(x: jax.Array, p: Params) -> jax.Array:
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _attn(x: jax.Array, p: Params, num_heads: int, kv: Optional[jax.Array] = None):
+    b, s, d = x.shape
+    src = x if kv is None else kv
+    sk = src.shape[1]
+    q = _dense(x, p["q"]).reshape(b, s, num_heads, d // num_heads)
+    k = _dense(src, p["k"]).reshape(b, sk, num_heads, d // num_heads)
+    v = _dense(src, p["v"]).reshape(b, sk, num_heads, d // num_heads)
+    o = mha(q, k, v).reshape(b, s, d)
+    return _dense(o, p["o"])
+
+
+def _mlp(x: jax.Array, p: Params) -> jax.Array:
+    h = _dense(x, p["fc1"])
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
+    return _dense(h, p["fc2"])
+
+
+def _encoder(x: jax.Array, blocks: Params, num_heads: int) -> jax.Array:
+    """Pre-LN transformer encoder as a scan over stacked block params."""
+
+    def step(h, blk):
+        h = h + _attn(_layer_norm(h, blk["ln1"]), blk["attn"], num_heads)
+        h = h + _mlp(_layer_norm(h, blk["ln2"]), blk["mlp"])
+        return h, None
+
+    x, _ = jax.lax.scan(step, x, blocks)
+    return x
+
+
+def _map_head(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
+    """MAP (multihead attention pooling) head; big_vision vit.py MAPHead
+    semantics (reference graph: aitemplate/model.py:82-111)."""
+    b = x.shape[0]
+    probe = jnp.broadcast_to(p["probe"][None], (b, 1, p["probe"].shape[-1])).astype(
+        x.dtype
+    )
+    y = _attn(probe, p, num_heads, kv=x)
+    y = y + _mlp(_layer_norm(y, p["ln"]), p["mlp"])
+    return y[:, 0]
+
+
+def preprocess_image(
+    image: jax.Array, cfg: SigLIPConfig = SO400M_14_384
+) -> jax.Array:
+    """uint8 (B,H,W,3) -> model input (B,R,R,3) in [-1,1], inside the graph.
+
+    Mirrors big_vision ``resize(384)|value_range(-1,1)``
+    (clip_accursed.py:51). Bilinear + antialias for downscale parity with
+    the reference's convolution resizers (common.rs:43-44).
+    """
+    x = image.astype(jnp.float32)
+    r = cfg.image_size
+    if image.shape[1] != r or image.shape[2] != r:
+        x = jax.image.resize(
+            x, (image.shape[0], r, r, 3), method="bilinear", antialias=True
+        )
+    return (x / 127.5 - 1.0).astype(cfg.param_dtype)
+
+
+def encode_image(
+    params: Params,
+    images: jax.Array,
+    cfg: SigLIPConfig = SO400M_14_384,
+    *,
+    normalize: bool = True,
+    preprocessed: bool = False,
+) -> jax.Array:
+    """Images -> L2-normalised fp32 embeddings (B, d_emb).
+
+    ``images``: uint8 (B,H,W,3) raw, or float (B,R,R,3) in [-1,1] when
+    ``preprocessed``.
+    """
+    p = params["img"]
+    x = images.astype(cfg.param_dtype) if preprocessed else preprocess_image(images, cfg)
+    b = x.shape[0]
+    n_side = cfg.image_size // cfg.patch_size
+    # conv(stride=kernel) == blocked reshape + one matmul on the MXU
+    x = x.reshape(b, n_side, cfg.patch_size, n_side, cfg.patch_size, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, n_side * n_side, cfg.patch_size * cfg.patch_size * 3
+    )
+    x = _dense(x, p["patch_embed"])
+    x = x + p["pos_emb"][None].astype(x.dtype)
+    x = _encoder(x, p["blocks"], cfg.num_heads)
+    x = _layer_norm(x, p["ln_final"])
+    emb = _map_head(x, p["map_head"], cfg.num_heads).astype(jnp.float32)
+    if normalize:
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb
+
+
+def encode_text(
+    params: Params,
+    tokens: jax.Array,
+    cfg: SigLIPConfig = SO400M_14_384,
+    *,
+    normalize: bool = True,
+) -> jax.Array:
+    """Token ids (B, text_len) int32 -> L2-normalised fp32 embeddings.
+
+    big_vision text_transformer semantics: embed + pos, encoder, final LN,
+    last-token pool (sticky-eos/pad-1 tokenisation guarantees position -1
+    is the sentence representation; clip_accursed.py:55), then the output
+    head projection.
+    """
+    p = params["txt"]
+    x = jnp.take(p["token_emb"], tokens, axis=0)
+    x = x + p["pos_emb"][None].astype(x.dtype)
+    x = _encoder(x, p["blocks"], cfg.text_num_heads)
+    x = _layer_norm(x, p["ln_final"])
+    x = x[:, -1]
+    emb = _dense(x, p["head"]).astype(jnp.float32)
+    if normalize:
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# SigLIP sigmoid loss + train step (used by the multi-chip dry run; the
+# reference ships pretrained weights and never trains the tower itself)
+# ---------------------------------------------------------------------------
+
+
+def siglip_loss(params: Params, images: jax.Array, tokens: jax.Array, cfg: SigLIPConfig):
+    zi = encode_image(params, images, cfg, preprocessed=True)
+    zt = encode_text(params, tokens, cfg)
+    logits = (
+        jnp.dot(zi, zt.T, preferred_element_type=jnp.float32)
+        * jnp.exp(params["t"])
+        + params["b"]
+    )
+    n = logits.shape[0]
+    labels = 2.0 * jnp.eye(n, dtype=jnp.float32) - 1.0
+    # -log sigmoid(labels * logits), pairwise sigmoid contrastive loss
+    return jnp.mean(jax.nn.softplus(-labels * logits))
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint loading (HF / big_vision name mapping)
+# ---------------------------------------------------------------------------
+
+
+def _hf_block(tensors, prefix: str, i: int, dt):
+    """Map one HF SiglipEncoderLayer onto our block layout."""
+
+    def t(name):
+        return jnp.asarray(tensors[f"{prefix}.layers.{i}.{name}"], dt)
+
+    def lin(name):
+        return {"w": t(f"{name}.weight").T, "b": t(f"{name}.bias")}
+
+    return {
+        "ln1": {"g": t("layer_norm1.weight"), "b": t("layer_norm1.bias")},
+        "attn": {
+            "q": lin("self_attn.q_proj"),
+            "k": lin("self_attn.k_proj"),
+            "v": lin("self_attn.v_proj"),
+            "o": lin("self_attn.out_proj"),
+        },
+        "ln2": {"g": t("layer_norm2.weight"), "b": t("layer_norm2.bias")},
+        "mlp": {"fc1": lin("mlp.fc1"), "fc2": lin("mlp.fc2")},
+    }
+
+
+def load_hf_siglip(path: str, cfg: SigLIPConfig = SO400M_14_384) -> Params:
+    """Load google/siglip-so400m-patch14-384 safetensors into our tree.
+
+    Accepts a file or directory containing ``model.safetensors``.
+    """
+    import os
+
+    from safetensors import safe_open
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "model.safetensors")
+    tensors: Dict[str, np.ndarray] = {}
+    with safe_open(path, framework="np") as f:
+        for key in f.keys():
+            tensors[key] = f.get_tensor(key)
+
+    dt = cfg.param_dtype
+    vp = "vision_model.encoder"
+    tp = "text_model.encoder"
+
+    def arr(name):
+        return jnp.asarray(tensors[name], dt)
+
+    def lin(name):
+        return {"w": arr(name + ".weight").T, "b": arr(name + ".bias")}
+
+    img_blocks = [ _hf_block(tensors, vp, i, dt) for i in range(cfg.depth) ]
+    txt_blocks = [ _hf_block(tensors, tp, i, dt) for i in range(cfg.text_depth) ]
+
+    # HF patch conv weight: (width, 3, P, P) -> (P*P*3, width) matching our
+    # (h, w, c) patch flattening order.
+    wconv = tensors["vision_model.embeddings.patch_embedding.weight"]
+    wmat = np.transpose(wconv, (2, 3, 1, 0)).reshape(-1, cfg.width)
+
+    # HF MAP head: probe, in_proj (packed qkv), out_proj, layernorm, mlp
+    hp = "vision_model.head"
+    in_w = tensors[f"{hp}.attention.in_proj_weight"]  # (3*width, width)
+    in_b = tensors[f"{hp}.attention.in_proj_bias"]
+    w_q, w_k, w_v = np.split(in_w, 3, axis=0)
+    b_q, b_k, b_v = np.split(in_b, 3, axis=0)
+
+    params = {
+        "img": {
+            "patch_embed": {
+                "w": jnp.asarray(wmat, dt),
+                "b": arr("vision_model.embeddings.patch_embedding.bias"),
+            },
+            "pos_emb": arr("vision_model.embeddings.position_embedding.weight"),
+            "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *img_blocks),
+            "ln_final": {
+                "g": arr("vision_model.post_layernorm.weight"),
+                "b": arr("vision_model.post_layernorm.bias"),
+            },
+            "map_head": {
+                "probe": arr(f"{hp}.probe")[0],
+                "q": {"w": jnp.asarray(w_q.T, dt), "b": jnp.asarray(b_q, dt)},
+                "k": {"w": jnp.asarray(w_k.T, dt), "b": jnp.asarray(b_k, dt)},
+                "v": {"w": jnp.asarray(w_v.T, dt), "b": jnp.asarray(b_v, dt)},
+                "o": lin(f"{hp}.attention.out_proj"),
+                "ln": {
+                    "g": arr(f"{hp}.layernorm.weight"),
+                    "b": arr(f"{hp}.layernorm.bias"),
+                },
+                "mlp": {"fc1": lin(f"{hp}.mlp.fc1"), "fc2": lin(f"{hp}.mlp.fc2")},
+            },
+        },
+        "txt": {
+            "token_emb": arr("text_model.embeddings.token_embedding.weight"),
+            "pos_emb": arr("text_model.embeddings.position_embedding.weight"),
+            "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *txt_blocks),
+            "ln_final": {
+                "g": arr("text_model.final_layer_norm.weight"),
+                "b": arr("text_model.final_layer_norm.bias"),
+            },
+            "head": lin("text_model.head"),
+        },
+        "t": jnp.asarray(np.log(10.0), jnp.float32),
+        "b": jnp.asarray(-10.0, jnp.float32),
+    }
+    if "logit_scale" in tensors:
+        params["t"] = jnp.asarray(tensors["logit_scale"], jnp.float32).reshape(())
+    if "logit_bias" in tensors:
+        params["b"] = jnp.asarray(tensors["logit_bias"], jnp.float32).reshape(())
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
