@@ -265,6 +265,9 @@ def preprocess_image(
     return (x / 127.5 - 1.0).astype(cfg.param_dtype)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "normalize", "preprocessed")
+)
 def encode_image(
     params: Params,
     images: jax.Array,
@@ -297,6 +300,7 @@ def encode_image(
     return emb
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "normalize"))
 def encode_text(
     params: Params,
     tokens: jax.Array,

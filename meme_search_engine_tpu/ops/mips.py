@@ -1,0 +1,142 @@
+"""Maximum-inner-product search over an HBM-resident fp16 corpus.
+
+This replaces the reference's two brute-force paths — FAISS
+``ScalarQuantizerIndexImpl`` QT_fp16 inner-product (src/main.rs:821-827)
+and the AVX2 ``fast_dot`` kernels (diskann/src/vector.rs:192-306) — with
+the TPU equivalent: the corpus lives in HBM as fp16, and queries scan it
+as a tiled MXU matmul fused with top-k selection, so per-tile score
+tensors never round-trip through HBM.
+
+Two implementations with one contract:
+
+- :func:`mips_topk` — ``lax.scan`` over corpus tiles; each tile does
+  (upcast -> matmul -> top-k -> merge with running top-k). XLA pipelines
+  the HBM tile reads against the MXU; the running (B, k) state stays in
+  registers/VMEM. This is the production path: at 1e5x1152 it runs at
+  HBM-bandwidth roofline.
+- :func:`mips_topk_pallas` in :mod:`pallas_mips` — hand-scheduled Pallas
+  kernel with explicit double-buffered HBM streaming, for the regime
+  where XLA's automatic pipelining leaves bandwidth on the table.
+
+Scores are fp32 inner products (the reference orders by i64 fixed-point
+f32*2^32, vector.rs:45-47 — a total-order trick, not extra precision;
+fp32 + stable index tie-break gives the same ranking within fp
+tolerance).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["mips_topk", "exact_scores"]
+
+
+def exact_scores(corpus: jax.Array, queries: jax.Array) -> jax.Array:
+    """(N,D) x (B,D) -> (B,N) fp32 inner products. Brute-force oracle."""
+    return jnp.einsum(
+        "nd,bd->bn",
+        corpus.astype(jnp.float32),
+        queries.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def mips_topk(
+    corpus: jax.Array,
+    queries: jax.Array,
+    k: int,
+    *,
+    tile: int = 16384,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k inner-product search.
+
+    Args:
+      corpus: (N, D) fp16/bf16/fp32 vectors resident in HBM.
+      queries: (B, D) fp32 query vectors (weighted fusion output).
+      k: number of results per query.
+      tile: corpus rows per scan step; tile*D*2 bytes stream per step.
+
+    Returns:
+      (scores, indices): each (B, k), scores fp32 descending, indices
+      int32 into the corpus. Out-of-range pad rows never win (scores
+      -inf).
+    """
+    n, d = corpus.shape
+    b = queries.shape[0]
+    k_eff = min(k, n)
+    qf = queries.astype(jnp.float32)
+
+    pad = (-n) % tile
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    n_tiles = corpus.shape[0] // tile
+    tiles = corpus.reshape(n_tiles, tile, d)
+
+    kt = min(k_eff, tile)
+
+    def step(carry, inp):
+        best_s, best_i = carry
+        tile_vecs, tile_idx = inp
+        # fp16 -> fp32 upcast fuses into the matmul read
+        s = jnp.einsum(
+            "td,bd->bt",
+            tile_vecs.astype(jnp.float32),
+            qf,
+            preferred_element_type=jnp.float32,
+        )
+        base = tile_idx * tile
+        valid = (base + jnp.arange(tile)) < n
+        s = jnp.where(valid[None, :], s, -jnp.inf)
+        ts, ti = jax.lax.top_k(s, kt)
+        ti = ti + base
+        # merge running top-k with this tile's top-k
+        ms = jnp.concatenate([best_s, ts], axis=1)
+        mi = jnp.concatenate([best_i, ti], axis=1)
+        sel_s, sel_pos = jax.lax.top_k(ms, k_eff)
+        sel_i = jnp.take_along_axis(mi, sel_pos, axis=1)
+        return (sel_s, sel_i), None
+
+    init = (
+        jnp.full((b, k_eff), -jnp.inf, jnp.float32),
+        jnp.zeros((b, k_eff), jnp.int32),
+    )
+    (scores, indices), _ = jax.lax.scan(
+        step, init, (tiles, jnp.arange(n_tiles))
+    )
+    return scores, indices.astype(jnp.int32)
+
+
+def dedup_matches(
+    embeddings: jax.Array,
+    scores: jax.Array,
+    threshold: float = 0.95,
+) -> jax.Array:
+    """Result de-duplication mask via pairwise similarity.
+
+    The reference drops results whose embedding has cosine > 0.95 with a
+    higher-ranked result, computed as an n^2 sgemm over visited
+    embeddings (query_disk_index.rs:99,486-527). Here it is one MXU
+    matmul + a causal comparison.
+
+    Args:
+      embeddings: (M, D) fp candidate embeddings, ranked best-first.
+      scores: (M,) their scores (used only to define rank order).
+      threshold: similarity above which a lower-ranked item is dropped.
+
+    Returns:
+      (M,) bool mask — True = keep.
+    """
+    e = embeddings.astype(jnp.float32)
+    e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-30)
+    sim = jnp.dot(e, e.T, preferred_element_type=jnp.float32)
+    order = jnp.argsort(-scores)
+    rank = jnp.argsort(order)
+    # drop i if exists j with rank[j] < rank[i] and sim > threshold
+    higher = rank[None, :] < rank[:, None]
+    dominated = jnp.any((sim > threshold) & higher, axis=1)
+    return ~dominated
