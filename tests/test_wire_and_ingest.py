@@ -1,0 +1,156 @@
+"""Wire codecs, filename codec, thumbnailer, DB staging."""
+
+import numpy as np
+import pytest
+
+from meme_search_engine_tpu.ingest import filename as fncodec
+from meme_search_engine_tpu.ingest.db import IngestDB
+from meme_search_engine_tpu.ingest.thumbnailer import (
+    IMAGE_FORMATS,
+    fnv1a64,
+    format_bitmask,
+    generate_thumbnails,
+    thumbnail_hash_key,
+)
+from meme_search_engine_tpu.serving.wire import (
+    QueryTerm,
+    fuse_terms,
+    parse_query_request,
+)
+from meme_search_engine_tpu.utils.fp16 import (
+    decode_fp16_buffer,
+    encode_fp16_buffer,
+)
+
+
+def test_fp16_roundtrip():
+    v = np.array([0.5, -1.25, 3.0], np.float32)
+    out = decode_fp16_buffer(encode_fp16_buffer(v))
+    np.testing.assert_array_equal(out, v)
+    # wire format is little-endian fp16: 0.5 == 0x3800
+    assert encode_fp16_buffer(np.array([0.5]))[:2] == b"\x00\x38"
+
+
+def test_filename_codec_roundtrip():
+    a = fncodec.Actual("memes/cat.png")
+    assert fncodec.decode_filename(fncodec.encode_filename(a)) == a
+    v = fncodec.VideoFrame("memes/clip.mp4", 3)
+    enc = fncodec.encode_filename(v)
+    assert enc[0] == 0  # NUL prefix marks video frames (main.rs:167-199)
+    assert fncodec.decode_filename(enc) == v
+    assert fncodec.container_of(v) == "memes/clip.mp4"
+
+
+def test_fnv1a64_known_vector():
+    # standard FNV-1a test vectors
+    assert fnv1a64(b"") == 0xCBF29CE484222325
+    assert fnv1a64(b"a") == 0xAF63DC4C8601EC8C
+
+
+def test_thumbnail_hash_key_stable():
+    k1 = thumbnail_hash_key(fncodec.Actual("x/y.png"))
+    k2 = thumbnail_hash_key(fncodec.Actual("x/y.png"))
+    assert k1 == k2 and "=" not in k1 and "/" not in k1 and "+" not in k1
+
+
+def test_generate_thumbnails():
+    from PIL import Image
+
+    img = Image.new("RGB", (1000, 500), (200, 30, 40))
+    out = generate_thumbnails(
+        fncodec.Actual("t.png"), img, original_filesize=10**9
+    )
+    assert "jpegl" in out and "jpeg256kb" in out
+    name, data = out["jpegl"]
+    assert name.endswith("jpegl.jpg") and len(data) > 0
+    # jpeg256kb respects the size budget (main.rs:300-321)
+    assert len(out["jpeg256kb"][1]) <= 256_000
+
+
+def test_format_bitmask():
+    fmts = sorted(IMAGE_FORMATS) + ["VIDEO"]
+    mask = format_bitmask(["jpegl", "VIDEO"], fmts)
+    assert mask & (1 << fmts.index("jpegl"))
+    assert mask & (1 << fmts.index("VIDEO"))
+    assert not mask & (1 << fmts.index("jpegh"))
+
+
+def test_db_staging_idempotent(tmp_path):
+    db = IngestDB(str(tmp_path / "t.db"))
+    fn = fncodec.encode_filename(fncodec.Actual("a.png"))
+    rec = db.stage_file(fn, 1_000_000, want_ocr=False, want_thumbs=True)
+    assert rec.needs_embed and rec.needs_thumbnail
+    db.write_embedding(fn, np.ones(16, np.float32))
+    db.write_thumbnails(fn, {"jpegl": "xjpegl.jpg"})
+    db.commit()
+    rec = db.stage_file(fn, 1_000_000, want_ocr=False, want_thumbs=True)
+    assert not rec.needs_embed and not rec.needs_thumbnail
+    # newer mtime retriggers all stages (main.rs:722-744)
+    rec = db.stage_file(fn, 10**18, want_ocr=False, want_thumbs=True)
+    assert rec.needs_embed and rec.needs_thumbnail
+    rows = list(db.iter_indexable())
+    assert len(rows) == 1 and rows[0][1].shape == (16,)
+
+
+def test_predefined_embeddings_roundtrip(tmp_path):
+    db = IngestDB(str(tmp_path / "t.db"))
+    db.set_predefined_embedding("Meme", np.arange(8, dtype=np.float32))
+    got = db.predefined_embeddings()
+    np.testing.assert_allclose(got["Meme"], np.arange(8), rtol=1e-3)
+
+
+def test_fuse_terms_weighted_sum():
+    d = 8
+
+    def embed_text(texts):
+        return np.stack([np.full(d, float(len(t))) for t in texts])
+
+    def embed_images(imgs):
+        return np.stack([np.ones(d) for _ in imgs])
+
+    import base64
+
+    terms = [
+        QueryTerm(text="ab", weight=2.0),          # 2 * [2.0]*8
+        QueryTerm(embedding=[1.0] * d, weight=-1.0),  # negative weight
+        QueryTerm(predefined_embedding="Meme", weight=0.5),
+        QueryTerm(image=base64.b64encode(b"fake").decode(), weight=3.0),
+    ]
+    total = fuse_terms(
+        terms,
+        d,
+        embed_text=embed_text,
+        embed_images=embed_images,
+        predefined_embeddings={"Meme": np.full(d, 4.0)},
+    )
+    np.testing.assert_allclose(total, np.full(d, 4.0 - 1.0 + 2.0 + 3.0))
+
+
+def test_parse_query_request():
+    req = parse_query_request(
+        {
+            "terms": [{"text": "cat", "weight": 0.5}, {"embedding": [1, 2]}],
+            "k": 10,
+            "include_video": True,
+        }
+    )
+    assert req.k == 10 and req.include_video
+    assert req.terms[0].text == "cat" and req.terms[1].embedding == [1, 2]
+
+
+def test_ocr_chunking():
+    from PIL import Image
+
+    from meme_search_engine_tpu.ingest.ocr import chunk_image, scan_chunks
+
+    img = Image.new("RGB", (100, 2500))
+    chunks = chunk_image(img)
+    assert [c[0] for c in chunks] == [0, 1024, 2048]
+    assert chunks[-1][1].height == 2500 - 2048
+
+    def fake_backend(png):
+        return [("word", (1.0, 2.0, 3.0, 4.0))]
+
+    segs = scan_chunks(img, fake_backend)
+    # y offsets corrected per strip
+    assert [s[1][1] for s in segs] == [2.0, 1026.0, 2050.0]
