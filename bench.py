@@ -1,0 +1,74 @@
+"""Headline benchmark: SigLIP images/sec on one TPU chip.
+
+Measures the reference's embedding hot path (clip_server.py:91-123 /
+BASELINE.md "SigLIP embedding throughput") end to end on device: uint8
+images -> in-graph preprocess -> ViT-SO400M/14@384 -> MAP head -> L2
+norm, bf16 MXU compute.
+
+Baseline: the driver target is >=5x A100 images/sec (BASELINE.md).
+The reference stores no A100 number; we use an estimate for fp16
+ViT-SO400M/14@384 inference on one A100-SXM (312 TFLOP/s fp16):
+~0.67 TFLOP/image at ~40% achieved MFU => ~190 img/s, consistent with
+published timm/open_clip A100 throughput for this model family.
+``vs_baseline`` is measured_img_s / 190.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_BASELINE_IMG_S = 190.0
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from meme_search_engine_tpu.models import siglip
+
+    cfg = siglip.SO400M_14_384
+    params = siglip.init_params(jax.random.PRNGKey(0), cfg)
+
+    batch = 128  # reference max batch (clip_server_config.json)
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.integers(0, 256, (batch, cfg.image_size, cfg.image_size, 3)).astype(
+            np.uint8
+        )
+    )
+
+    fn = jax.jit(lambda p, im: siglip.encode_image(p, im, cfg))
+    # warmup / compile; host fetch is the only reliable sync on tunneled
+    # backends (block_until_ready returns early under axon)
+    np.asarray(fn(params, images))
+
+    def run(iters: int) -> float:
+        t0 = time.perf_counter()
+        out = fn(params, images)
+        for _ in range(iters - 1):
+            out = fn(params, images)
+        float(out[0, 0])  # host fetch = sync
+        return time.perf_counter() - t0
+
+    run(1)  # steady-state
+    t1 = min(run(1) for _ in range(2))
+    tn = run(11)
+    per_batch = (tn - t1) / 10  # difference out fixed sync overhead
+    img_s = batch / per_batch
+    print(
+        json.dumps(
+            {
+                "metric": "siglip_so400m_images_per_sec_per_chip",
+                "value": round(img_s, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

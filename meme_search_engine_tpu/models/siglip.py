@@ -285,7 +285,11 @@ def encode_image(
     x = images.astype(cfg.param_dtype) if preprocessed else preprocess_image(images, cfg)
     b = x.shape[0]
     n_side = cfg.image_size // cfg.patch_size
-    # conv(stride=kernel) == blocked reshape + one matmul on the MXU
+    # conv(stride=kernel, pad=0) == crop to n_side*patch (384 -> 378: the
+    # stride-14 conv drops the trailing 6px) + blocked reshape + one MXU
+    # matmul
+    span = n_side * cfg.patch_size
+    x = x[:, :span, :span, :]
     x = x.reshape(b, n_side, cfg.patch_size, n_side, cfg.patch_size, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
         b, n_side * n_side, cfg.patch_size * cfg.patch_size * 3
