@@ -1,0 +1,622 @@
+"""Vamana (DiskANN) graph construction and search, TPU-batched.
+
+Capability parity with the reference's ``diskann`` crate — greedy best-
+first search, ParlayANN-style alpha-RNG robust prune, OOD query-vector
+handling (query_breakpoint / query_alpha), RobustStitch, random fill,
+medioid selection (diskann/src/lib.rs:183-387) — re-architected for TPU:
+
+The reference builds with rayon threads doing one node at a time over
+per-node RwLocks and AVX2 dot kernels (lib.rs:287-324, vector.rs:192).
+Fine-grained locks don't map to an accelerator, so the build runs in
+**batched synchronous rounds** (FreshDiskANN/ParlayANN-style): a batch
+of nodes runs greedy search *in lockstep* on device — frontier expansion
+is an adjacency gather + one batched MXU contraction per hop — followed
+by a batched on-device robust prune (argmax selection + masked matvec
+per degree slot), and one host-side back-edge reconciliation per round.
+The resulting graph differs from the sequential reference's only in
+insertion-order effects; quality is validated by the recall harness
+(tests/test_vamana.py), matching the reference's own evaluation strategy
+(diskann/src/main.rs:101-137 — recall + distance-comparison counts, not
+graph isomorphism).
+
+Scores are fp32 inner products ordered (score desc, id asc); the
+reference's i64 fixed-point trick (vector.rs:45-47) exists only to get a
+total order, which the composite sort key provides here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["VamanaConfig", "build_graph", "medioid", "random_fill", "GreedyCounters"]
+
+
+@dataclasses.dataclass(frozen=True)
+class VamanaConfig:
+    """Build parameters (reference defaults: lib.rs:41-52,
+    generate_index_shard.rs:22-37)."""
+
+    r: int = 64  # max out-degree
+    l: int = 192  # search list size
+    maxc: int = 750  # prune candidate pool
+    alpha: float = 65536 / 65536  # RNG diversity factor (fixed-point /2^16)
+    saturate_graph: bool = False
+    query_breakpoint: int = 2**31 - 1  # ids >= this are OOD query vectors
+    query_alpha: float = 1.0
+    max_add_per_stitch_iter: int = 16
+    batch_size: int = 512  # nodes per synchronous build round
+    max_search_steps: int = 0  # 0 -> auto (4*l)
+
+
+def medioid(vectors: np.ndarray) -> int:
+    """Entry point = argmax dot with the corpus mean (lib.rs:54-68)."""
+    x = jnp.asarray(vectors, jnp.float32)
+    mean = x.mean(axis=0)
+    return int(jnp.argmax(jnp.dot(x, mean, preferred_element_type=jnp.float32)))
+
+
+def random_fill(n: int, r: int, seed: int = 0) -> np.ndarray:
+    """Random R-regular init (lib.rs:376-387), (N, R) int32."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, n, (n, r), dtype=np.int32)
+
+
+@dataclasses.dataclass
+class GreedyCounters:
+    distances: int = 0
+
+
+# ---------------------------------------------------------------------------
+# device-side primitives
+# ---------------------------------------------------------------------------
+
+
+def _sort_desc_with_ids(scores, ids):
+    """Sort by (score desc, id asc) — a total order like the reference's
+    fixed-point i64 compare."""
+    order = jnp.lexsort((ids, -scores))
+    return jnp.take_along_axis(scores, order, 1), jnp.take_along_axis(ids, order, 1)
+
+
+def _dedupe_by_id(scores, ids):
+    """Mark duplicate ids (keep best score). ids sorted ascending first."""
+    order = jnp.argsort(ids, axis=1)
+    ids_s = jnp.take_along_axis(ids, order, 1)
+    scores_s = jnp.take_along_axis(scores, order, 1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((ids.shape[0], 1), bool),
+            ids_s[:, 1:] == ids_s[:, :-1],
+        ],
+        axis=1,
+    )
+    scores_s = jnp.where(dup, -jnp.inf, scores_s)
+    ids_s = jnp.where(dup, jnp.int32(2**31 - 1), ids_s)
+    return scores_s, ids_s
+
+
+@functools.partial(
+    jax.jit, static_argnames=("l", "maxc", "max_steps", "base_only")
+)
+def _batched_greedy_search(
+    vectors,  # (N, D) f32/bf16 on device
+    graph,  # (N, R) i32, -1 padded
+    queries,  # (B, D) f32
+    start,  # scalar i32
+    query_breakpoint,  # scalar i32
+    l: int,
+    maxc: int,
+    max_steps: int,
+    base_only: bool,
+):
+    """Lockstep greedy search for B queries (lib.rs:183-211 semantics).
+
+    Returns (cand_scores (B, maxc), cand_ids (B, maxc), steps): the
+    accumulated visited/scored candidate pool, best-first.
+    """
+    b = queries.shape[0]
+    n, r = graph.shape
+    INVALID = jnp.int32(2**31 - 1)
+
+    qf = queries.astype(jnp.float32)
+
+    start_vec = vectors[start].astype(jnp.float32)
+    s0 = jnp.dot(qf, start_vec, preferred_element_type=jnp.float32)
+
+    # beam buffer: (B, L) ids/scores/visited
+    buf_ids = jnp.full((b, l), INVALID, jnp.int32).at[:, 0].set(start)
+    buf_scores = jnp.full((b, l), -jnp.inf, jnp.float32).at[:, 0].set(s0)
+    buf_visited = jnp.zeros((b, l), bool)
+
+    # visited/scored pool for robust_prune (running top-maxc)
+    pool_ids = jnp.full((b, maxc), INVALID, jnp.int32)
+    pool_scores = jnp.full((b, maxc), -jnp.inf, jnp.float32)
+
+    def cond(state):
+        _bi, _bs, bv, _pi, _ps, step, done = state
+        return jnp.logical_and(step < max_steps, jnp.logical_not(done))
+
+    def body(state):
+        buf_ids, buf_scores, buf_visited, pool_ids, pool_scores, step, _ = state
+
+        # next unvisited per query = first unvisited slot (buffer sorted)
+        unvisited = jnp.logical_and(~buf_visited, buf_ids != INVALID)
+        has_next = jnp.any(unvisited, axis=1)
+        next_slot = jnp.argmax(unvisited, axis=1)
+        cur = jnp.take_along_axis(buf_ids, next_slot[:, None], 1)[:, 0]
+        cur = jnp.where(has_next, cur, 0)  # inactive queries expand node 0
+        buf_visited = buf_visited.at[jnp.arange(b), next_slot].set(
+            jnp.where(has_next, True, buf_visited[jnp.arange(b), next_slot])
+        )
+
+        # expand: gather adjacency rows + candidate vectors, one MXU dot
+        neigh = graph[cur]  # (B, R)
+        valid = neigh >= 0
+        neigh_safe = jnp.where(valid, neigh, 0)
+        nvecs = vectors[neigh_safe].astype(jnp.float32)  # (B, R, D)
+        nscores = jnp.einsum(
+            "bd,brd->br", qf, nvecs, preferred_element_type=jnp.float32
+        )
+        if base_only:
+            # OOD: skip query nodes when searching for base vectors
+            # (lib.rs:196-199)
+            valid = jnp.logical_and(valid, neigh < query_breakpoint)
+        valid = jnp.logical_and(valid, has_next[:, None])
+        nscores = jnp.where(valid, nscores, -jnp.inf)
+        nids = jnp.where(valid, neigh, INVALID)
+
+        # merge into beam buffer: dedupe by id, keep visited flags
+        m_ids = jnp.concatenate([buf_ids, nids], axis=1)
+        m_scores = jnp.concatenate([buf_scores, nscores], axis=1)
+        m_visited = jnp.concatenate(
+            [buf_visited, jnp.zeros_like(nids, bool)], axis=1
+        )
+        # collapse duplicates: sort by id, first occurrence keeps its
+        # visited flag (buffer entries come first only after stable sort
+        # on ids — use (id, visited desc) key so visited copies win)
+        order = jnp.lexsort((~m_visited, m_ids))
+        m_ids = jnp.take_along_axis(m_ids, order, 1)
+        m_scores = jnp.take_along_axis(m_scores, order, 1)
+        m_visited = jnp.take_along_axis(m_visited, order, 1)
+        dup = jnp.concatenate(
+            [jnp.zeros((b, 1), bool), m_ids[:, 1:] == m_ids[:, :-1]], axis=1
+        )
+        m_scores = jnp.where(dup, -jnp.inf, m_scores)
+        m_ids = jnp.where(dup, INVALID, m_ids)
+        # best-first truncate to L
+        order = jnp.lexsort((m_ids, -m_scores))
+        m_ids = jnp.take_along_axis(m_ids, order, 1)[:, :l]
+        m_scores = jnp.take_along_axis(m_scores, order, 1)[:, :l]
+        m_visited = jnp.take_along_axis(m_visited, order, 1)[:, :l]
+
+        # accumulate scored candidates into the prune pool (visited_list
+        # semantics: every scored neighbour lands in the pool)
+        p_ids = jnp.concatenate([pool_ids, nids], axis=1)
+        p_scores = jnp.concatenate([pool_scores, nscores], axis=1)
+        p_scores, p_ids = _dedupe_by_id(p_scores, p_ids)
+        order = jnp.lexsort((p_ids, -p_scores))
+        p_ids = jnp.take_along_axis(p_ids, order, 1)[:, :maxc]
+        p_scores = jnp.take_along_axis(p_scores, order, 1)[:, :maxc]
+
+        done = jnp.logical_not(jnp.any(
+            jnp.logical_and(~m_visited, m_ids != INVALID)
+        ))
+        return (m_ids, m_scores, m_visited, p_ids, p_scores, step + 1, done)
+
+    state = (buf_ids, buf_scores, buf_visited, pool_ids, pool_scores,
+             jnp.int32(0), jnp.bool_(False))
+    buf_ids, buf_scores, buf_visited, pool_ids, pool_scores, steps, _ = (
+        jax.lax.while_loop(cond, body, state)
+    )
+    # seed candidate also belongs in the pool
+    pool_ids, pool_scores = _merge_pool(
+        pool_ids, pool_scores,
+        jnp.full((b, 1), start, jnp.int32), s0[:, None], maxc,
+    )
+    return pool_scores, pool_ids, steps
+
+
+def _merge_pool(pool_ids, pool_scores, add_ids, add_scores, maxc):
+    p_ids = jnp.concatenate([pool_ids, add_ids], axis=1)
+    p_scores = jnp.concatenate([pool_scores, add_scores], axis=1)
+    p_scores, p_ids = _dedupe_by_id(p_scores, p_ids)
+    order = jnp.lexsort((p_ids, -p_scores))
+    p_ids = jnp.take_along_axis(p_ids, order, 1)[:, :maxc]
+    p_scores = jnp.take_along_axis(p_scores, order, 1)[:, :maxc]
+    return p_ids, p_scores
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def _batched_robust_prune(
+    vectors,  # (N, D)
+    p_nodes,  # (B,) i32 node being pruned
+    cand_ids,  # (B, C) i32 sorted best-first, INVALID padded
+    cand_scores,  # (B, C) f32
+    alpha,  # scalar f32
+    query_alpha,  # scalar f32
+    query_breakpoint,  # scalar i32
+    saturate,  # scalar bool (saturate_graph or p is query node)
+    r: int,
+):
+    """alpha-RNG prune, ParlayANN flavour (lib.rs:227-285), batched.
+
+    Iterates r rounds; each round selects the best remaining candidate
+    p* and suppresses every candidate c with
+    alpha_c * dot(c, p*) >= dot(c, p) — alpha_c switches to query_alpha
+    for OOD query candidates (lib.rs:261-265).
+    """
+    b, c = cand_ids.shape
+    INVALID = jnp.int32(2**31 - 1)
+
+    valid0 = cand_ids != INVALID
+    # self-edges never selected (p_star == p skip, lib.rs:241)
+    valid0 = jnp.logical_and(valid0, cand_ids != p_nodes[:, None])
+    cand_safe = jnp.where(cand_ids != INVALID, cand_ids, 0)
+    cvecs = vectors[cand_safe].astype(jnp.float32)  # (B, C, D)
+
+    alpha_c = jnp.where(cand_ids >= query_breakpoint, query_alpha, alpha)
+
+    def body(i, state):
+        alive, selected_ids, n_selected = state
+        # best remaining candidate (cand arrays sorted best-first)
+        any_alive = jnp.any(alive, axis=1)
+        pick = jnp.argmax(alive, axis=1)  # first alive slot
+        pick_id = jnp.take_along_axis(cand_ids, pick[:, None], 1)[:, 0]
+        pick_vec = jnp.take_along_axis(
+            cvecs, pick[:, None, None], 1
+        )[:, 0, :]  # (B, D)
+
+        do_pick = jnp.logical_and(any_alive, n_selected < r)
+        selected_ids = selected_ids.at[:, i].set(
+            jnp.where(do_pick, pick_id, INVALID)
+        )
+        n_selected = n_selected + do_pick.astype(jnp.int32)
+
+        # suppress candidates dominated by p*
+        pstar_dots = jnp.einsum(
+            "bd,bcd->bc", pick_vec, cvecs, preferred_element_type=jnp.float32
+        )
+        dominated = alpha_c * pstar_dots >= cand_scores
+        alive = jnp.where(
+            do_pick[:, None],
+            jnp.logical_and(alive, jnp.logical_not(dominated)),
+            alive,
+        )
+        # the pick itself always leaves the pool
+        alive = alive.at[jnp.arange(b), pick].set(
+            jnp.where(do_pick, False, alive[jnp.arange(b), pick])
+        )
+        return alive, selected_ids, n_selected
+
+    selected = jnp.full((b, r), INVALID, jnp.int32)
+    alive, selected, n_selected = jax.lax.fori_loop(
+        0, r, body, (valid0, selected, jnp.zeros((b,), jnp.int32))
+    )
+
+    # compact the INVALID gaps left by exhausted queries
+    order = jnp.argsort(selected, axis=1)  # INVALID sorts last
+    selected = jnp.take_along_axis(selected, order, 1)
+    # saturate: refill from remaining candidates best-first
+    # (lib.rs:274-284); selected entries excluded via dedupe
+    def saturate_fill(selected):
+        # selected edges first (rank 0), then remaining candidates
+        # best-first (rank = 1 + position in the score-sorted pool);
+        # dedupe by id keeping the lowest rank, drop INVALID/self
+        m_ids = jnp.concatenate([selected, cand_ids], axis=1)
+        rank = jnp.concatenate(
+            [
+                jnp.zeros((b, r), jnp.int32),
+                1 + jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (b, c)),
+            ],
+            axis=1,
+        )
+        order = jnp.lexsort((rank, m_ids))  # by id, lowest rank first
+        m_ids_s = jnp.take_along_axis(m_ids, order, 1)
+        rank_s = jnp.take_along_axis(rank, order, 1)
+        dup = jnp.concatenate(
+            [jnp.zeros((b, 1), bool), m_ids_s[:, 1:] == m_ids_s[:, :-1]],
+            axis=1,
+        )
+        keep = jnp.logical_and(~dup, m_ids_s != INVALID)
+        keep = jnp.logical_and(keep, m_ids_s != p_nodes[:, None])
+        m_ids_s = jnp.where(keep, m_ids_s, INVALID)
+        rank_s = jnp.where(keep, rank_s, jnp.int32(2**30))
+        order2 = jnp.lexsort((m_ids_s, rank_s))  # rank asc, INVALID last
+        return jnp.take_along_axis(m_ids_s, order2, 1)[:, :r]
+
+    selected = jnp.where(saturate[:, None], saturate_fill(selected), selected)
+    selected = jnp.where(selected == INVALID, -1, selected)
+    return selected
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+
+def build_graph(
+    vectors: np.ndarray,
+    config: VamanaConfig = VamanaConfig(),
+    seed: int = 0,
+    graph: Optional[np.ndarray] = None,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Build the Vamana graph (lib.rs:287-324 flow, batched rounds).
+
+    vectors: (N, D); rows >= config.query_breakpoint are OOD query
+    vectors (appended after base data, generate_index_shard.rs:71-94).
+    Returns adjacency (N, R) int32, -1 padded.
+    """
+    n, d = vectors.shape
+    cfg = config
+    rng = np.random.default_rng(seed)
+    max_steps = cfg.max_search_steps or 4 * cfg.l
+
+    vec_dev = jnp.asarray(vectors, jnp.float32)
+    if graph is None:
+        graph = random_fill(n, cfg.r, seed)
+    graph = np.asarray(graph, np.int32)
+    degrees = np.full((n,), graph.shape[1], np.int32)
+    med = medioid(vectors[: min(n, cfg.query_breakpoint)])
+
+    sigmas = rng.permutation(n).astype(np.int32)
+    bp = jnp.int32(cfg.query_breakpoint)
+
+    for round_start in range(0, n, cfg.batch_size):
+        batch = sigmas[round_start : round_start + cfg.batch_size]
+        b = len(batch)
+        pad = cfg.batch_size - b
+        batch_p = np.pad(batch, (0, pad), constant_values=0)
+
+        graph_dev = jnp.asarray(graph)
+        queries = vec_dev[jnp.asarray(batch_p)]
+        is_query_node = batch_p >= cfg.query_breakpoint
+
+        # base_only=True when the searching node is a query vector; the
+        # reference flips per node (lib.rs:298-299) — we run the whole
+        # batch base_only iff it contains any query nodes (query rounds
+        # are appended after base rounds in practice)
+        base_only = bool(is_query_node.any())
+        pool_scores, pool_ids, _steps = _batched_greedy_search(
+            vec_dev, graph_dev, queries, jnp.int32(med), bp,
+            l=cfg.l, maxc=cfg.maxc, max_steps=max_steps, base_only=base_only,
+        )
+
+        # merge existing out-neighbours into the candidate pool
+        # (lib.rs:301-304)
+        existing = graph[batch_p]  # (B, R)
+        evalid = existing >= 0
+        esafe = np.where(evalid, existing, 0)
+        evecs = vec_dev[jnp.asarray(esafe)]
+        escores = jnp.einsum(
+            "bd,brd->br", queries, evecs, preferred_element_type=jnp.float32
+        )
+        escores = jnp.where(jnp.asarray(evalid), escores, -jnp.inf)
+        eids = jnp.where(jnp.asarray(evalid), jnp.asarray(esafe), 2**31 - 1)
+        pool_ids, pool_scores = _merge_pool(
+            pool_ids, pool_scores, eids, escores, cfg.maxc
+        )
+
+        saturate = jnp.asarray(
+            np.logical_or(cfg.saturate_graph, is_query_node)
+        )
+        new_neigh = _batched_robust_prune(
+            vec_dev,
+            jnp.asarray(batch_p),
+            pool_ids,
+            pool_scores,
+            jnp.float32(cfg.alpha),
+            jnp.float32(cfg.query_alpha),
+            bp,
+            saturate,
+            r=cfg.r,
+        )
+        new_neigh = np.asarray(new_neigh)[:b]
+
+        # host: install new adjacency + back-edges (lib.rs:311-322)
+        overflow_nodes = []
+        for j, u in enumerate(batch):
+            row = new_neigh[j]
+            row = row[row >= 0]
+            graph[u, : len(row)] = row
+            graph[u, len(row) :] = -1
+            degrees[u] = len(row)
+        for j, u in enumerate(batch):
+            for v in new_neigh[j]:
+                if v < 0:
+                    continue
+                deg = degrees[v]
+                if deg < cfg.r:
+                    if u not in graph[v, :deg]:
+                        graph[v, deg] = u
+                        degrees[v] = deg + 1
+                else:
+                    overflow_nodes.append((v, u))
+
+        # re-prune overflowing back-edge targets in one device batch
+        if overflow_nodes:
+            _reprune_overflow(
+                vec_dev, graph, degrees, overflow_nodes, cfg, bp
+            )
+        if verbose and (round_start // cfg.batch_size) % 20 == 0:
+            print(
+                f"vamana round {round_start // cfg.batch_size}: "
+                f"{round_start + b}/{n} nodes"
+            )
+
+    return graph
+
+
+def _reprune_overflow(vec_dev, graph, degrees, overflow_nodes, cfg, bp):
+    """Batch re-prune nodes whose back-edge insertion overflowed R
+    (lib.rs:313-318: merge neighbours + the new edge, robust_prune)."""
+    # group: node -> set of extra candidates
+    from collections import defaultdict
+
+    extras = defaultdict(set)
+    for v, u in overflow_nodes:
+        extras[v].add(u)
+    nodes = np.asarray(sorted(extras), np.int32)
+    max_extra = max(len(s) for s in extras.values())
+    c = cfg.r + max_extra
+    b = len(nodes)
+    cand = np.full((b, c), 2**31 - 1, np.int64)
+    for i, v in enumerate(nodes):
+        neigh = graph[v][graph[v] >= 0]
+        ex = np.fromiter(extras[v], np.int64)
+        row = np.concatenate([neigh, ex])[:c]
+        cand[i, : len(row)] = row
+
+    cand = jnp.asarray(cand, jnp.int32)
+    valid = cand != 2**31 - 1
+    csafe = jnp.where(valid, cand, 0)
+    pvecs = vec_dev[jnp.asarray(nodes)]
+    cvecs = vec_dev[csafe]
+    scores = jnp.einsum(
+        "bd,bcd->bc", pvecs, cvecs, preferred_element_type=jnp.float32
+    )
+    scores = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.lexsort((cand, -scores))
+    cand = jnp.take_along_axis(cand, order, 1)
+    scores = jnp.take_along_axis(scores, order, 1)
+
+    saturate = jnp.asarray(
+        np.logical_or(cfg.saturate_graph, nodes >= cfg.query_breakpoint)
+    )
+    new_rows = np.asarray(
+        _batched_robust_prune(
+            vec_dev,
+            jnp.asarray(nodes),
+            cand,
+            scores,
+            jnp.float32(cfg.alpha),
+            jnp.float32(cfg.query_alpha),
+            bp,
+            saturate,
+            r=cfg.r,
+        )
+    )
+    for i, v in enumerate(nodes):
+        row = new_rows[i]
+        row = row[row >= 0]
+        graph[v, : len(row)] = row
+        graph[v, len(row) :] = -1
+        degrees[v] = len(row)
+
+
+def robust_stitch(
+    vectors: np.ndarray,
+    graph: np.ndarray,
+    config: VamanaConfig,
+) -> np.ndarray:
+    """OOD-DiskANN RobustStitch (lib.rs:326-374): remove base->query
+    edges; refill each former in-neighbour's spare slots with the query's
+    best out-neighbours (scored against the in-neighbour, capped by
+    max_add_per_stitch_iter)."""
+    n = graph.shape[0]
+    bp = config.query_breakpoint
+    if bp >= n:
+        return graph
+    graph = graph.copy()
+    vec_dev = jnp.asarray(vectors, jnp.float32)
+
+    # collect and delete base->query edges
+    in_edges = [[] for _ in range(n - bp)]
+    for base in range(bp):
+        row = graph[base]
+        keep = []
+        for v in row:
+            if v < 0:
+                continue
+            if v >= bp:
+                in_edges[v - bp].append(base)
+            else:
+                keep.append(v)
+        graph[base, : len(keep)] = keep
+        graph[base, len(keep) :] = -1
+
+    degrees = (graph >= 0).sum(axis=1)
+
+    # batched scoring: for every (in_neighbour, query) pair, dot the
+    # in-neighbour against the query's out-neighbours
+    pairs = [
+        (in_n, q)
+        for q in range(bp, n)
+        for in_n in in_edges[q - bp]
+    ]
+    if not pairs:
+        return graph
+    in_ns = np.asarray([p[0] for p in pairs], np.int32)
+    qs = np.asarray([p[1] for p in pairs], np.int32)
+    qneigh = graph[qs]  # (P, R) query out-neighbours
+    valid = qneigh >= 0
+    qsafe = np.where(valid, qneigh, 0)
+    scores = np.array(
+        jnp.einsum(
+            "pd,prd->pr",
+            vec_dev[jnp.asarray(in_ns)],
+            vec_dev[jnp.asarray(qsafe)],
+            preferred_element_type=jnp.float32,
+        )
+    )
+    scores[~valid] = -np.inf
+    order = np.argsort(-scores, axis=1)
+
+    for p_idx in range(len(pairs)):
+        in_n = in_ns[p_idx]
+        added = 0
+        deg = degrees[in_n]
+        existing = set(graph[in_n, :deg].tolist())
+        for j in order[p_idx]:
+            if added >= config.max_add_per_stitch_iter or deg >= config.r:
+                break
+            cand = qneigh[p_idx, j]
+            # refill with base nodes only — re-adding query ids would
+            # recreate the edges stitch just removed
+            if cand < 0 or cand >= bp or cand in existing:
+                continue
+            graph[in_n, deg] = cand
+            existing.add(cand)
+            deg += 1
+            added += 1
+        degrees[in_n] = deg
+    return graph
+
+
+# ---------------------------------------------------------------------------
+# query-time search over an in-memory graph
+# ---------------------------------------------------------------------------
+
+
+def search(
+    vectors: np.ndarray,
+    graph: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    config: VamanaConfig,
+    start: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Batched greedy search returning top-k (scores, ids, steps)."""
+    if start is None:
+        start = medioid(vectors[: min(len(vectors), config.query_breakpoint)])
+    vec_dev = jnp.asarray(vectors, jnp.float32)
+    graph_dev = jnp.asarray(graph, jnp.int32)
+    q = jnp.asarray(np.atleast_2d(queries), jnp.float32)
+    max_steps = config.max_search_steps or 4 * config.l
+    pool_scores, pool_ids, steps = _batched_greedy_search(
+        vec_dev, graph_dev, q, jnp.int32(start),
+        jnp.int32(config.query_breakpoint),
+        l=config.l, maxc=max(config.maxc, k), max_steps=max_steps,
+        base_only=True,
+    )
+    return (
+        np.asarray(pool_scores)[:, :k],
+        np.asarray(pool_ids)[:, :k],
+        int(steps),
+    )

@@ -1,0 +1,118 @@
+"""Vamana graph build + search: recall harness vs brute force.
+
+This mirrors the reference's own quality methodology (diskann/src/main.rs
+:101-137: build, then self-query recall + distance-comparison counts) —
+graph construction is randomised and parallel-order-dependent, so
+correctness is judged by recall, not graph equality.
+"""
+
+import numpy as np
+import pytest
+
+from meme_search_engine_tpu.index.vamana import (
+    VamanaConfig,
+    build_graph,
+    medioid,
+    random_fill,
+    robust_stitch,
+    search,
+)
+
+
+def _unit(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(0)
+    x = _unit(rng, 2000, 32)
+    cfg = VamanaConfig(
+        r=16, l=48, maxc=96, alpha=1.0, batch_size=256, query_breakpoint=2**31 - 1
+    )
+    graph = build_graph(x, cfg, seed=0)
+    return x, graph, cfg
+
+
+def test_graph_wellformed(built):
+    x, graph, cfg = built
+    n = len(x)
+    assert graph.shape == (n, cfg.r)
+    valid = graph[graph >= 0]
+    assert valid.max() < n
+    degrees = (graph >= 0).sum(axis=1)
+    assert degrees.min() >= 1
+    # no self-edges after prune rounds touched a node
+    rows = np.arange(n)[:, None]
+    self_edges = (graph == rows).sum()
+    assert self_edges < n * 0.02
+
+
+def test_self_recall(built):
+    """Self-query: searching each vector must find itself at rank 1 for
+    the vast majority of nodes (main.rs harness checks recall@1)."""
+    x, graph, cfg = built
+    q = x[:256]
+    scores, ids, steps = search(x, graph, q, 1, cfg)
+    hits = (ids[:, 0] == np.arange(256)).mean()
+    assert hits > 0.95, hits
+    assert steps > 0
+
+
+def test_recall_at_10_vs_bruteforce(built):
+    x, graph, cfg = built
+    rng = np.random.default_rng(7)
+    q = _unit(rng, 64, 32)
+    scores, ids, _ = search(x, graph, q, 10, cfg)
+    exact = x @ q.T  # (N, B)
+    true10 = np.argsort(-exact, axis=0)[:10].T
+    recall = np.mean(
+        [
+            len(set(ids[b].tolist()) & set(true10[b].tolist())) / 10
+            for b in range(64)
+        ]
+    )
+    assert recall > 0.85, recall
+
+
+def test_medioid():
+    rng = np.random.default_rng(1)
+    x = _unit(rng, 500, 16)
+    m = medioid(x)
+    mean = x.mean(axis=0)
+    assert m == int(np.argmax(x @ mean))
+
+
+def test_ood_query_vectors_and_stitch():
+    """OOD build: query vectors appended after base data get neighbours
+    but are never returned by base-only search; robust_stitch removes
+    base->query edges and refills (lib.rs:326-374,
+    generate_index_shard.rs:96-133)."""
+    rng = np.random.default_rng(2)
+    n_base, n_query = 600, 100
+    x = _unit(rng, n_base + n_query, 16)
+    cfg = VamanaConfig(
+        r=8,
+        l=24,
+        maxc=48,
+        batch_size=128,
+        query_breakpoint=n_base,
+        query_alpha=0.9,
+        max_add_per_stitch_iter=4,
+    )
+    graph = build_graph(x, cfg, seed=1)
+    # base-only search never returns query-node ids
+    _s, ids, _ = search(x, graph, x[:32], 5, cfg)
+    assert ids.max() < n_base
+
+    stitched = robust_stitch(x, graph, cfg)
+    base_rows = stitched[:n_base]
+    assert (base_rows >= n_base).sum() == 0  # no base->query edges remain
+    # stitch must not shrink connectivity
+    assert (stitched[:n_base] >= 0).sum() >= (graph[:n_base][graph[:n_base] < n_base] >= 0).sum()
+
+
+def test_random_fill_shape():
+    g = random_fill(100, 8, seed=3)
+    assert g.shape == (100, 8) and g.min() >= 0 and g.max() < 100
