@@ -1,0 +1,278 @@
+"""Disk-resident DiskANN index: beam search over 4096-byte node records.
+
+Capability parity with src/query_disk_index.rs: shard selection by
+centroid dot (:447-450), beam search with beamwidth-parallel node reads
+(:144-212), PQ asymmetric-distance frontier scoring from mmap'd codes
+(:189-207), descriptor-column slider scoring (:133-142), full-precision
+rerank of visited nodes, cosine>0.95 result dedup (:99, 486-527), and an
+offline evaluate mode (:225-343) printing rank stats + recall@20 +
+PQ-comparison counts.
+
+Runtime split (SURVEY SS2.10 P6): record IO runs on host threads
+(python pread or the C++ diskio runtime, native/diskio.cpp) — a
+latency-bound pointer chase that belongs on CPUs; the batch-friendly
+math (result dedup, batched eval rerank, brute-force oracle) runs on
+the TPU. Frontier ADC uses a numpy LUT-sum: at beamwidth x degree ~ 200
+candidates/hop, kernel-launch latency would dominate any device gain
+(SURVEY hard-part 4's host-side fallback).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import mmap
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.mips import dedup_matches
+from .opq import ProductQuantizer
+from ..pipeline.formats import IndexHeader, PackedIndexEntry
+
+DUPLICATES_THRESHOLD = 0.95  # query_disk_index.rs:99
+
+
+@dataclasses.dataclass
+class SearchCounters:
+    node_reads: int = 0
+    pq_comparisons: int = 0
+
+
+@dataclasses.dataclass
+class SearchResult:
+    id: int
+    score: float
+    url: str
+    scores: List[float]
+    shards: List[int]
+    timestamp: int
+    dimensions: Tuple[int, int]
+    embedding: Optional[np.ndarray] = None
+
+
+class DiskIndex:
+    """Reader over index.msgpack / index.bin / index.pq-codes.bin /
+    index.descriptor-codes.bin."""
+
+    def __init__(self, directory: str, io_backend: Optional[object] = None):
+        self.dir = directory
+        self.header = IndexHeader.load(os.path.join(directory, "index.msgpack"))
+        q = self.header.quantizer
+        self.quantizer = ProductQuantizer(
+            centroids=np.asarray(q["centroids"], np.float32).reshape(
+                -1, q["n_dims"]
+            ),
+            transform=np.asarray(q["transform"], np.float32).reshape(
+                q["n_dims"], q["n_dims"]
+            ),
+            n_dims_per_code=q["n_dims_per_code"],
+            n_dims=q["n_dims"],
+        )
+        self.pad = self.header.record_pad_size
+        n = self.header.count
+        self.n_chunks = self.quantizer.n_chunks
+
+        self._rec_path = os.path.join(directory, "index.bin")
+        if io_backend is None:
+            from .native_io import open_reader
+
+            io_backend = open_reader(self._rec_path, self.pad)
+        self.io = io_backend
+
+        # mmap + populate the PQ/descriptor code files
+        # (query_disk_index.rs:686-709)
+        with open(os.path.join(directory, "index.pq-codes.bin"), "rb") as f:
+            self.pq_codes = np.frombuffer(
+                mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ), np.uint8
+            ).reshape(n, self.n_chunks)
+        desc_path = os.path.join(directory, "index.descriptor-codes.bin")
+        with open(desc_path, "rb") as f:
+            raw = mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
+            n_desc = len(raw) // n
+            self.descriptors = np.frombuffer(raw, np.uint8).reshape(n, n_desc)
+        self.n_descriptors = self.descriptors.shape[1]
+
+        self.shard_centroids = np.asarray(
+            [c for c, _m in self.header.shards], np.float32
+        )
+        self.shard_medioids = [m for _c, m in self.header.shards]
+
+    # -- node IO ------------------------------------------------------------
+
+    def read_nodes(self, ids: Sequence[int]) -> List[PackedIndexEntry]:
+        records = self.io.read_batch(list(ids))
+        self_counters_unused = None
+        return [PackedIndexEntry.unpack(r) for r in records]
+
+    # -- search -------------------------------------------------------------
+
+    def select_shard(self, query: np.ndarray) -> int:
+        """argmax centroid . q (query_disk_index.rs:447-450)."""
+        return int(np.argmax(self.shard_centroids @ query))
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int = 20,
+        *,
+        beamwidth: int = 3,
+        search_list: int = 1000,
+        descriptor_scales: Optional[np.ndarray] = None,
+        dedup: bool = True,
+        start_id: Optional[int] = None,
+    ) -> Tuple[List[SearchResult], SearchCounters]:
+        """Beam search (query_disk_index.rs:144-212 semantics).
+
+        Frontier candidates are scored with PQ ADC + descriptor product;
+        visited nodes get the exact fp16 dot; results are rank-sorted by
+        exact score and near-duplicates dropped.
+        """
+        query = np.asarray(query, np.float32)
+        counters = SearchCounters()
+        if descriptor_scales is None:
+            descriptor_scales = np.zeros(self.n_descriptors, np.float32)
+        use_desc = bool(np.any(descriptor_scales != 0))
+
+        lut = self.quantizer.preprocess_query(query)  # (chunks, C)
+
+        if start_id is None:
+            start_id = self.shard_medioids[self.select_shard(query)]
+
+        # candidate buffer: max-heap by approx score, visited tracking
+        visited_adjacent = {start_id}
+        visited: Dict[int, SearchResult] = {}
+        start_approx = float(
+            lut[np.arange(self.n_chunks), self.pq_codes[start_id]].sum()
+        )
+        counters.pq_comparisons += 1
+        frontier: List[Tuple[float, int]] = [(-start_approx, start_id)]
+        in_buffer = {start_id}
+        buffer_scores = {start_id: start_approx}
+
+        while frontier:
+            # pop up to beamwidth best unvisited candidates
+            batch = []
+            while frontier and len(batch) < beamwidth:
+                _negs, nid = heapq.heappop(frontier)
+                if nid in visited:
+                    continue
+                batch.append(nid)
+            if not batch:
+                break
+
+            nodes = self.read_nodes(batch)  # beamwidth-parallel IO
+            counters.node_reads += len(nodes)
+
+            new_candidates: List[int] = []
+            for node in nodes:
+                exact = float(query @ node.vector)
+                visited[node.id] = SearchResult(
+                    id=node.id,
+                    score=exact,
+                    url=node.url,
+                    scores=node.scores,
+                    shards=node.shards,
+                    timestamp=node.timestamp,
+                    dimensions=node.dimensions,
+                    embedding=node.vector,
+                )
+                for v in node.vertices:
+                    if v not in visited_adjacent:
+                        visited_adjacent.add(v)
+                        new_candidates.append(v)
+
+            if new_candidates:
+                cand = np.asarray(new_candidates)
+                codes = self.pq_codes[cand]  # (C, chunks)
+                approx = lut[np.arange(self.n_chunks)[None, :], codes].sum(
+                    axis=1
+                )
+                counters.pq_comparisons += len(cand)
+                if use_desc:
+                    approx = approx + (
+                        self.descriptors[cand].astype(np.float32)
+                        @ descriptor_scales
+                    )
+                # keep the buffer bounded at search_list candidates
+                for cid, a in zip(cand.tolist(), approx.tolist()):
+                    heapq.heappush(frontier, (-a, cid))
+                if len(frontier) > search_list * 2:
+                    frontier = heapq.nsmallest(search_list, frontier)
+                    heapq.heapify(frontier)
+
+            if len(visited) >= search_list:
+                break
+
+        results = sorted(visited.values(), key=lambda r: -r.score)
+        if dedup and len(results) > 1:
+            import jax.numpy as jnp
+
+            embs = np.stack([r.embedding for r in results])
+            scores = np.asarray([r.score for r in results], np.float32)
+            keep = np.asarray(
+                dedup_matches(
+                    jnp.asarray(embs), jnp.asarray(scores), DUPLICATES_THRESHOLD
+                )
+            )
+            results = [r for r, k_ in zip(results, keep) if k_]
+        return results[:k], counters
+
+    # -- offline evaluation (query_disk_index.rs:225-343) -------------------
+
+    def evaluate(
+        self,
+        queries: np.ndarray,
+        k: int = 20,
+        *,
+        beamwidth: int = 3,
+        search_list: int = 1000,
+    ) -> dict:
+        """Brute-force oracle vs per-shard beam search: recall@k, rank
+        stats, PQ-comparison counts."""
+        import jax.numpy as jnp
+
+        from ..ops.mips import mips_topk
+
+        n = self.header.count
+        all_vecs = np.zeros((n, self.quantizer.n_dims), np.float16)
+        for start in range(0, n, 1024):
+            ids = range(start, min(n, start + 1024))
+            for node in self.read_nodes(list(ids)):
+                all_vecs[node.id] = node.vector.astype(np.float16)
+
+        qs = np.atleast_2d(np.asarray(queries, np.float32))
+        _scores, oracle = mips_topk(
+            jnp.asarray(all_vecs), jnp.asarray(qs), k
+        )
+        oracle = np.asarray(oracle)
+
+        recalls, ranks, cmps, reads = [], [], [], []
+        for b in range(len(qs)):
+            results, counters = self.search(
+                qs[b],
+                k,
+                beamwidth=beamwidth,
+                search_list=search_list,
+                dedup=False,
+            )
+            got = [r.id for r in results]
+            truth = set(oracle[b].tolist())
+            recalls.append(len(set(got) & truth) / k)
+            pos = {rid: i for i, rid in enumerate(got)}
+            ranks.extend(
+                pos.get(t, search_list) + 1 for t in oracle[b].tolist()
+            )
+            cmps.append(counters.pq_comparisons)
+            reads.append(counters.node_reads)
+
+        ranks = np.asarray(ranks, np.float64)
+        return {
+            "recall": float(np.mean(recalls)),
+            "mean_rank": float(ranks.mean()),
+            "median_rank": float(np.median(ranks)),
+            "harmonic_mean_rank": float(len(ranks) / np.sum(1.0 / ranks)),
+            "mean_pq_comparisons": float(np.mean(cmps)),
+            "mean_node_reads": float(np.mean(reads)),
+        }

