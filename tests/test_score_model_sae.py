@@ -1,0 +1,187 @@
+"""Score model (BT ensemble + wide export), rater data/training, SAE."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from meme_search_engine_tpu.models.sae import (
+    SAEConfig,
+    decoder_features,
+    init_sae,
+    sae_forward,
+    train_sae,
+)
+from meme_search_engine_tpu.models.score_model import (
+    ScoreModelConfig,
+    WideScoreModel,
+    bradley_terry_prob,
+    ensemble_forward,
+    export_wide,
+    init_ensemble,
+)
+
+CFG = ScoreModelConfig(d_emb=32, n_hidden=1, n_ensemble=4, output_channels=3)
+
+
+@pytest.fixture(scope="module")
+def ensemble():
+    return init_ensemble(jax.random.PRNGKey(0), CFG)
+
+
+def test_ensemble_forward_shape(ensemble):
+    x = np.random.default_rng(0).standard_normal((8, 32)).astype(np.float32)
+    out = ensemble_forward(ensemble, x)
+    assert out.shape == (4, 8, 3)
+    # members disagree (independent init)
+    assert float(np.var(np.asarray(out), axis=0).mean()) > 0
+
+
+def test_bradley_terry_prob_range(ensemble):
+    pairs = np.random.default_rng(1).standard_normal((4, 8, 2, 32)).astype(
+        np.float32
+    )
+    probs = np.asarray(bradley_terry_prob(ensemble, pairs))
+    assert probs.shape == (4, 8, 3)
+    assert np.all(probs > 0) and np.all(probs < 1)
+    # antisymmetry: swapping the pair flips the probability
+    swapped = pairs[:, :, ::-1]
+    probs2 = np.asarray(bradley_terry_prob(ensemble, swapped))
+    np.testing.assert_allclose(probs + probs2, 1.0, atol=1e-5)
+
+
+def test_wide_export_golden(ensemble):
+    """Wide model == ensemble mean within 1e-4 (the reference's golden
+    self-check, ensemble_to_wide_model.py:57-68 / score_model.rs:52-63)."""
+    wide = export_wide(ensemble, CFG)  # raises on self-check failure
+    assert wide.up_proj.shape == (4 * 32, 32)
+    assert wide.down_proj.shape == (3, 4 * 32)
+    assert abs(wide.scale - 1 / 4) < 1e-9
+
+
+def test_wide_safetensors_roundtrip(ensemble, tmp_path):
+    wide = export_wide(ensemble, CFG)
+    p = str(tmp_path / "model.safetensors")
+    wide.save_safetensors(p)
+    back = WideScoreModel.load_safetensors(p)
+    x = np.random.default_rng(2).standard_normal((4, 32)).astype(np.float32)
+    np.testing.assert_allclose(
+        back.score_batch(x), wide.score_batch(x), rtol=1e-6
+    )
+
+
+def test_rater_training_learns(tmp_path):
+    """Train on a synthetic linear preference; loss must drop and the
+    model must rank a held-out pair correctly."""
+    from meme_search_engine_tpu.rater.train import TrainSettings, train
+
+    rng = np.random.default_rng(3)
+    w_true = rng.standard_normal(32)
+    items = rng.standard_normal((200, 32)).astype(np.float32)
+    quality = items @ w_true
+    idx = rng.integers(0, 200, (300, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    pairs = items[idx]  # (B, 2, 32)
+    better = quality[idx[:, 0]] > quality[idx[:, 1]]
+    targets = np.where(better[:, None], 0.9, 0.1).astype(np.float32)
+    targets = np.repeat(targets, 3, axis=1)
+
+    log = str(tmp_path / "log.jsonl")
+    params, history = train(
+        pairs,
+        targets,
+        CFG,
+        TrainSettings(
+            steps=300, batch_size=64, dropout=0.0, lr=1e-3, log_path=log
+        ),
+    )
+    assert history[-1]["loss"] < history[0]["loss"] * 0.8
+    with open(log) as f:
+        assert len(f.readlines()) == 300
+
+    scores = np.asarray(ensemble_forward(params, items)).mean(axis=0)[:, 0]
+    test_pairs = rng.integers(0, 200, (100, 2))
+    test_pairs = test_pairs[quality[test_pairs[:, 0]] > quality[test_pairs[:, 1]] + 1.0]
+    acc = np.mean(scores[test_pairs[:, 0]] > scores[test_pairs[:, 1]])
+    assert acc > 0.8, acc
+
+
+def test_ratings_db(tmp_path):
+    from meme_search_engine_tpu.rater.data import RATING_PROBS, RatingsDB
+
+    db = RatingsDB(str(tmp_path / "r.db"))
+    rng = np.random.default_rng(4)
+    for i in range(10):
+        db.add_file(f"m{i}.png", rng.standard_normal(16))
+    db.add_rating("m0.png", "m1.png", "1+")
+    db.add_rating("m2.png", "m3.png", "2", axis="meme")
+    pairs, targets, names = db.pairs()
+    assert pairs.shape == (2, 2, 16)
+    row = dict(zip(names, targets))
+    np.testing.assert_allclose(row[("m0.png", "m1.png")], [0.9, 0.5, 0.5])
+    np.testing.assert_allclose(row[("m2.png", "m3.png")], [0.5, 0.3, 0.5])
+    db.push_queue([("a", "b")])
+    assert db.pop_queue() == ("a", "b")
+    assert db.pop_queue() is None
+
+
+def test_active_learning_selection(ensemble):
+    from meme_search_engine_tpu.rater.active_learning import (
+        ensemble_variance,
+        gradient_norms,
+        select_pairs_by_variance,
+        select_top_percentile_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    embs = rng.standard_normal((50, 32)).astype(np.float32)
+    var = ensemble_variance(ensemble, embs)
+    assert var.shape == (50,) and np.all(var >= 0)
+
+    pairs = select_pairs_by_variance(ensemble, embs, 5)
+    assert len(pairs) == 5 and all(a != b for a, b in pairs)
+
+    p = rng.standard_normal((6, 2, 32)).astype(np.float32)
+    t = np.full((6, 3), 0.9, np.float32)
+    norms = gradient_norms(ensemble, p, t)
+    assert norms.shape == (6,) and np.all(norms > 0)
+
+    top = select_top_percentile_pairs(var, 4, percentile=50)
+    assert len(top) == 4
+
+
+def test_sae_topk_sparsity():
+    cfg = SAEConfig(d_emb=16, d_hidden=64, top_k=8)
+    params = init_sae(jax.random.PRNGKey(0), cfg)
+    x = np.random.default_rng(6).standard_normal((10, 16)).astype(np.float32)
+    recon, counts = sae_forward(params, x, cfg)
+    assert recon.shape == (10, 16)
+    # sparsity: <= top_k active features per sample
+    assert counts.sum() <= 10 * cfg.top_k
+    assert counts.shape == (64,)
+    # tied init: down_w == up_w.T
+    np.testing.assert_allclose(
+        np.asarray(params["down_w"]), np.asarray(params["up_w"]).T
+    )
+
+
+def test_sae_training_reconstructs():
+    cfg = SAEConfig(d_emb=16, d_hidden=128, top_k=16)
+    rng = np.random.default_rng(7)
+    # low-rank structured data: SAE should reconstruct well
+    basis = rng.standard_normal((8, 16)).astype(np.float32)
+    codes = np.abs(rng.standard_normal((500, 8)).astype(np.float32))
+    x = codes @ basis
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    params, counters = train_sae(
+        x, cfg, steps=300, batch_size=128, lr=3e-3, seed=0
+    )
+    recon, _ = sae_forward(params, x[:100], cfg)
+    rel = float(
+        np.linalg.norm(np.asarray(recon) - x[:100])
+        / np.linalg.norm(x[:100])
+    )
+    assert rel < 0.5, rel
+    assert decoder_features(params).shape == (128, 16)
+    assert counters.sum() > 0
