@@ -237,3 +237,74 @@ def test_native_reader_matches_python(built_index):
     assert got == expected
     nat.close()
     py.close()
+
+
+def test_disk_query_server(built_index, tmp_path):
+    """HTTP parity for the large-scale backend (query_disk_index.rs
+    serve mode)."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from meme_search_engine_tpu.serving.disk_query_server import make_app
+
+    out_dir, vectors, _ = built_index
+    idx = DiskIndex(out_dir)
+
+    class FakeEmbedder:
+        class config:
+            embedding_size = D
+            batch = 8
+            image_size = (8, 8)
+
+        async def embed_texts(self, texts):
+            rng = np.random.default_rng(abs(hash(tuple(texts))) % 2**31)
+            v = rng.standard_normal((len(texts), D)).astype(np.float32)
+            return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+        async def embed_image_bytes(self, images):
+            raise NotImplementedError
+
+    telemetry_path = str(tmp_path / "telemetry.msgpack")
+
+    async def run():
+        app = make_app(
+            idx, FakeEmbedder(), telemetry_path=telemetry_path, search_list=200
+        )
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.get("/")
+            init = await resp.json()
+            assert init["n_total"] > 0 and init["d_emb"] == D
+            assert "Meme" in init["predefined_embedding_names"]
+
+            # raw-embedding query with a Meme descriptor slider
+            q = vectors[9].tolist()
+            resp = await client.post(
+                "/",
+                json={
+                    "terms": [
+                        {"embedding": q},
+                        {"predefined_embedding": "Meme", "weight": 0.5},
+                    ],
+                    "k": 5,
+                    "debug_enabled": True,
+                },
+            )
+            body = await resp.json()
+            assert len(body["matches"]) == 5
+            score, url = body["matches"][0][:2]
+            assert url.startswith("https://")
+            assert body["matches"][0][5]["shards"] is not None
+
+            resp = await client.post("/telemetry", json={"event": "search"})
+            assert resp.status == 204
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop().run_until_complete(run())
+    import time
+
+    time.sleep(0.2)  # writer thread flush
+    assert os.path.getsize(telemetry_path) > 0
