@@ -47,6 +47,21 @@ _MIGRATIONS = [
         embedding BLOB NOT NULL
     )
     """,
+    # OCR full-text search: FTS5 index over files.ocr kept in sync by
+    # triggers (legacy-backend parity: mse.py:131-158 maintains the same
+    # structure for text lookups over OCR'd meme text)
+    """
+    CREATE VIRTUAL TABLE IF NOT EXISTS ocr_fts USING fts5(
+        filename UNINDEXED, ocr
+    )
+    """,
+    """
+    CREATE TRIGGER IF NOT EXISTS files_ocr_insert
+    AFTER UPDATE OF ocr ON files WHEN new.ocr IS NOT NULL
+    BEGIN
+        INSERT INTO ocr_fts (filename, ocr) VALUES (new.filename, new.ocr);
+    END
+    """,
 ]
 
 
@@ -184,6 +199,18 @@ class IngestDB:
                 "SELECT name, embedding FROM predefined_embeddings"
             )
         }
+
+    def search_ocr_text(self, query: str, limit: int = 50):
+        """FTS5 match over OCR'd text -> [(filename bytes, rank)]."""
+        try:
+            rows = self.conn.execute(
+                "SELECT filename, rank FROM ocr_fts WHERE ocr_fts MATCH ? "
+                "ORDER BY rank LIMIT ?",
+                (query, limit),
+            ).fetchall()
+        except sqlite3.OperationalError:
+            return []
+        return [(bytes(fn), rank) for fn, rank in rows]
 
     def set_predefined_embedding(self, name: str, embedding: np.ndarray):
         self.conn.execute(

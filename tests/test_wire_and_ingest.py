@@ -154,3 +154,20 @@ def test_ocr_chunking():
     segs = scan_chunks(img, fake_backend)
     # y offsets corrected per strip
     assert [s[1][1] for s in segs] == [2.0, 1026.0, 2050.0]
+
+
+def test_ocr_fts_search(tmp_path):
+    """FTS5 OCR text search kept in sync by triggers (mse.py:131-158)."""
+    db = IngestDB(str(tmp_path / "fts.db"))
+    fn1 = fncodec.encode_filename(fncodec.Actual("a.png"))
+    fn2 = fncodec.encode_filename(fncodec.Actual("b.png"))
+    db.stage_file(fn1, 1, want_ocr=True, want_thumbs=False)
+    db.stage_file(fn2, 1, want_ocr=True, want_thumbs=False)
+    db.write_ocr(fn1, "hello distributed systems", b"[]")
+    db.write_ocr(fn2, "cat picture", b"[]")
+    db.commit()
+    hits = db.search_ocr_text("distributed")
+    assert [h[0] for h in hits] == [fn1]
+    assert db.search_ocr_text("cat") == [(fn2, hits[0][1])] or len(
+        db.search_ocr_text("cat")
+    ) == 1
