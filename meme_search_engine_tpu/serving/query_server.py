@@ -235,6 +235,15 @@ def main(argv=None):
             formats=service.formats,
             extensions=service.extensions,
         )
+        if config.get("serve_frontend", True):
+            from .frontend import attach_frontend
+
+            attach_frontend(
+                app,
+                memes_dir=config.get("files"),
+                thumbs_dir=config.get("thumbs_path"),
+                friendly_terms=config.get("friendly_mode_default_terms"),
+            )
         return app
 
     loop = asyncio.new_event_loop()
