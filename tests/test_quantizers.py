@@ -154,3 +154,22 @@ def test_adc_batched_and_descriptor():
     scales = np.array([1.0 / 512, 0, -0.5 / 512, 0], np.float32)
     ds = np.asarray(descriptor_scores(jnp.asarray(desc), jnp.asarray(scales)))
     np.testing.assert_allclose(ds, desc.astype(np.float32) @ scales, rtol=1e-5)
+
+
+def test_adc_pallas_matches_xla_interpret():
+    """Pallas gather-ADC kernel == one-hot reference (interpret mode)."""
+    import jax.numpy as jnp
+
+    from meme_search_engine_tpu.ops.adc import (
+        adc_scores_batched,
+        adc_scores_pallas,
+    )
+
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 256, (300, 16), dtype=np.uint8)
+    luts = rng.standard_normal((3, 16, 256)).astype(np.float32)
+    ref = np.asarray(adc_scores_batched(jnp.asarray(codes), jnp.asarray(luts)))
+    got = np.asarray(
+        adc_scores_pallas(jnp.asarray(codes), jnp.asarray(luts), interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
