@@ -102,7 +102,9 @@ def _dedupe_by_id(scores, ids):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "maxc", "max_steps", "base_only")
+    jax.jit,
+    static_argnames=("l", "maxc", "max_steps", "base_only", "expand",
+                     "collect_pool"),
 )
 def _batched_greedy_search(
     vectors,  # (N, D) f32/bf16 on device
@@ -114,11 +116,19 @@ def _batched_greedy_search(
     maxc: int,
     max_steps: int,
     base_only: bool,
+    expand: int = 1,
+    collect_pool: bool = True,
 ):
     """Lockstep greedy search for B queries (lib.rs:183-211 semantics).
 
-    Returns (cand_scores (B, maxc), cand_ids (B, maxc), steps): the
-    accumulated visited/scored candidate pool, best-first.
+    ``expand`` > 1 pops several unvisited beam entries per step (beam
+    expansion, like the disk index's beamwidth reads) — fewer sort
+    passes per visited node at the cost of a few extra distance evals.
+    ``collect_pool=False`` skips the robust-prune candidate pool
+    (query-serving mode: only the beam buffer is needed).
+
+    Returns (cand_scores (B, P), cand_ids (B, P), steps) where P = maxc
+    (pool mode) or l (buffer mode), best-first.
     """
     b = queries.shape[0]
     n, r = graph.shape
@@ -135,8 +145,9 @@ def _batched_greedy_search(
     buf_visited = jnp.zeros((b, l), bool)
 
     # visited/scored pool for robust_prune (running top-maxc)
-    pool_ids = jnp.full((b, maxc), INVALID, jnp.int32)
-    pool_scores = jnp.full((b, maxc), -jnp.inf, jnp.float32)
+    pool_n = maxc if collect_pool else 1
+    pool_ids = jnp.full((b, pool_n), INVALID, jnp.int32)
+    pool_scores = jnp.full((b, pool_n), -jnp.inf, jnp.float32)
 
     def cond(state):
         _bi, _bs, bv, _pi, _ps, step, done = state
@@ -145,21 +156,23 @@ def _batched_greedy_search(
     def body(state):
         buf_ids, buf_scores, buf_visited, pool_ids, pool_scores, step, _ = state
 
-        # next unvisited per query = first unvisited slot (buffer sorted)
+        # pop the best `expand` unvisited slots (buffer is best-first)
         unvisited = jnp.logical_and(~buf_visited, buf_ids != INVALID)
-        has_next = jnp.any(unvisited, axis=1)
-        next_slot = jnp.argmax(unvisited, axis=1)
-        cur = jnp.take_along_axis(buf_ids, next_slot[:, None], 1)[:, 0]
-        cur = jnp.where(has_next, cur, 0)  # inactive queries expand node 0
-        buf_visited = buf_visited.at[jnp.arange(b), next_slot].set(
-            jnp.where(has_next, True, buf_visited[jnp.arange(b), next_slot])
+        slot_order = jnp.argsort(~unvisited, axis=1, stable=True)
+        slots = slot_order[:, :expand]  # (B, E)
+        slot_ok = jnp.take_along_axis(unvisited, slots, 1)
+        cur = jnp.take_along_axis(buf_ids, slots, 1)
+        cur = jnp.where(slot_ok, cur, 0)
+        rows = jnp.arange(b)[:, None]
+        buf_visited = buf_visited.at[rows, slots].set(
+            jnp.logical_or(buf_visited[rows, slots], slot_ok)
         )
 
         # expand: gather adjacency rows + candidate vectors, one MXU dot
-        neigh = graph[cur]  # (B, R)
+        neigh = graph[cur].reshape(b, expand * r)  # (B, E*R)
         valid = neigh >= 0
         neigh_safe = jnp.where(valid, neigh, 0)
-        nvecs = vectors[neigh_safe].astype(jnp.float32)  # (B, R, D)
+        nvecs = vectors[neigh_safe].astype(jnp.float32)  # (B, E*R, D)
         nscores = jnp.einsum(
             "bd,brd->br", qf, nvecs, preferred_element_type=jnp.float32
         )
@@ -167,7 +180,9 @@ def _batched_greedy_search(
             # OOD: skip query nodes when searching for base vectors
             # (lib.rs:196-199)
             valid = jnp.logical_and(valid, neigh < query_breakpoint)
-        valid = jnp.logical_and(valid, has_next[:, None])
+        valid = jnp.logical_and(
+            valid, jnp.repeat(slot_ok, r, axis=1)
+        )
         nscores = jnp.where(valid, nscores, -jnp.inf)
         nids = jnp.where(valid, neigh, INVALID)
 
@@ -177,9 +192,8 @@ def _batched_greedy_search(
         m_visited = jnp.concatenate(
             [buf_visited, jnp.zeros_like(nids, bool)], axis=1
         )
-        # collapse duplicates: sort by id, first occurrence keeps its
-        # visited flag (buffer entries come first only after stable sort
-        # on ids — use (id, visited desc) key so visited copies win)
+        # collapse duplicates: sort by (id, visited desc) so the visited
+        # copy of a rediscovered node wins
         order = jnp.lexsort((~m_visited, m_ids))
         m_ids = jnp.take_along_axis(m_ids, order, 1)
         m_scores = jnp.take_along_axis(m_scores, order, 1)
@@ -195,14 +209,17 @@ def _batched_greedy_search(
         m_scores = jnp.take_along_axis(m_scores, order, 1)[:, :l]
         m_visited = jnp.take_along_axis(m_visited, order, 1)[:, :l]
 
-        # accumulate scored candidates into the prune pool (visited_list
-        # semantics: every scored neighbour lands in the pool)
-        p_ids = jnp.concatenate([pool_ids, nids], axis=1)
-        p_scores = jnp.concatenate([pool_scores, nscores], axis=1)
-        p_scores, p_ids = _dedupe_by_id(p_scores, p_ids)
-        order = jnp.lexsort((p_ids, -p_scores))
-        p_ids = jnp.take_along_axis(p_ids, order, 1)[:, :maxc]
-        p_scores = jnp.take_along_axis(p_scores, order, 1)[:, :maxc]
+        if collect_pool:
+            # accumulate scored candidates into the prune pool
+            # (visited_list semantics: every scored neighbour included)
+            p_ids = jnp.concatenate([pool_ids, nids], axis=1)
+            p_scores = jnp.concatenate([pool_scores, nscores], axis=1)
+            p_scores, p_ids = _dedupe_by_id(p_scores, p_ids)
+            order = jnp.lexsort((p_ids, -p_scores))
+            p_ids = jnp.take_along_axis(p_ids, order, 1)[:, :pool_n]
+            p_scores = jnp.take_along_axis(p_scores, order, 1)[:, :pool_n]
+        else:
+            p_ids, p_scores = pool_ids, pool_scores
 
         done = jnp.logical_not(jnp.any(
             jnp.logical_and(~m_visited, m_ids != INVALID)
@@ -214,6 +231,8 @@ def _batched_greedy_search(
     buf_ids, buf_scores, buf_visited, pool_ids, pool_scores, steps, _ = (
         jax.lax.while_loop(cond, body, state)
     )
+    if not collect_pool:
+        return buf_scores, buf_ids, steps
     # seed candidate also belongs in the pool
     pool_ids, pool_scores = _merge_pool(
         pool_ids, pool_scores,
@@ -463,20 +482,24 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_nodes, cfg, bp):
     for v, u in overflow_nodes:
         extras[v].add(u)
     nodes = np.asarray(sorted(extras), np.int32)
-    max_extra = max(len(s) for s in extras.values())
-    c = cfg.r + max_extra
+    # fixed candidate width + pow2-padded batch so the jitted prune
+    # compiles once per build, not once per round
+    max_extra = min(64, max(len(s) for s in extras.values()))
+    c = cfg.r + 64
     b = len(nodes)
-    cand = np.full((b, c), 2**31 - 1, np.int64)
+    b_pad = 1 << max(0, (b - 1)).bit_length()
+    cand = np.full((b_pad, c), 2**31 - 1, np.int64)
     for i, v in enumerate(nodes):
         neigh = graph[v][graph[v] >= 0]
-        ex = np.fromiter(extras[v], np.int64)
+        ex = np.fromiter(extras[v], np.int64)[:max_extra]
         row = np.concatenate([neigh, ex])[:c]
         cand[i, : len(row)] = row
+    nodes_pad = np.concatenate([nodes, np.zeros(b_pad - b, np.int32)])
 
     cand = jnp.asarray(cand, jnp.int32)
     valid = cand != 2**31 - 1
     csafe = jnp.where(valid, cand, 0)
-    pvecs = vec_dev[jnp.asarray(nodes)]
+    pvecs = vec_dev[jnp.asarray(nodes_pad)]
     cvecs = vec_dev[csafe]
     scores = jnp.einsum(
         "bd,bcd->bc", pvecs, cvecs, preferred_element_type=jnp.float32
@@ -487,12 +510,12 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_nodes, cfg, bp):
     scores = jnp.take_along_axis(scores, order, 1)
 
     saturate = jnp.asarray(
-        np.logical_or(cfg.saturate_graph, nodes >= cfg.query_breakpoint)
+        np.logical_or(cfg.saturate_graph, nodes_pad >= cfg.query_breakpoint)
     )
     new_rows = np.asarray(
         _batched_robust_prune(
             vec_dev,
-            jnp.asarray(nodes),
+            jnp.asarray(nodes_pad),
             cand,
             scores,
             jnp.float32(cfg.alpha),
@@ -601,22 +624,28 @@ def search(
     k: int,
     config: VamanaConfig,
     start: Optional[int] = None,
+    expand: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Batched greedy search returning top-k (scores, ids, steps)."""
+    """Batched greedy search returning top-k (scores, ids, steps).
+
+    Serving mode: pool-free (the beam buffer IS the result set) with
+    multi-node beam expansion per step.
+    """
     if start is None:
         start = medioid(vectors[: min(len(vectors), config.query_breakpoint)])
     vec_dev = jnp.asarray(vectors, jnp.float32)
     graph_dev = jnp.asarray(graph, jnp.int32)
     q = jnp.asarray(np.atleast_2d(queries), jnp.float32)
-    max_steps = config.max_search_steps or 4 * config.l
-    pool_scores, pool_ids, steps = _batched_greedy_search(
+    l = max(config.l, k)
+    max_steps = config.max_search_steps or 4 * l
+    buf_scores, buf_ids, steps = _batched_greedy_search(
         vec_dev, graph_dev, q, jnp.int32(start),
         jnp.int32(config.query_breakpoint),
-        l=config.l, maxc=max(config.maxc, k), max_steps=max_steps,
-        base_only=True,
+        l=l, maxc=l, max_steps=max_steps,
+        base_only=True, expand=expand, collect_pool=False,
     )
     return (
-        np.asarray(pool_scores)[:, :k],
-        np.asarray(pool_ids)[:, :k],
+        np.asarray(buf_scores)[:, :k],
+        np.asarray(buf_ids)[:, :k],
         int(steps),
     )
