@@ -481,25 +481,60 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_nodes, cfg, bp):
     extras = defaultdict(set)
     for v, u in overflow_nodes:
         extras[v].add(u)
-    nodes = np.asarray(sorted(extras), np.int32)
-    # fixed candidate width + pow2-padded batch so the jitted prune
-    # compiles once per build, not once per round
-    max_extra = min(64, max(len(s) for s in extras.values()))
+    all_nodes = np.asarray(sorted(extras), np.int32)
+    # fixed candidate width + fixed chunk so the jitted prune compiles
+    # once per build (not once per round) and the (chunk, C, D) gather
+    # stays bounded (a round can overflow thousands of nodes)
     c = cfg.r + 64
-    b = len(nodes)
-    b_pad = 1 << max(0, (b - 1)).bit_length()
-    cand = np.full((b_pad, c), 2**31 - 1, np.int64)
-    for i, v in enumerate(nodes):
-        neigh = graph[v][graph[v] >= 0]
-        ex = np.fromiter(extras[v], np.int64)[:max_extra]
-        row = np.concatenate([neigh, ex])[:c]
-        cand[i, : len(row)] = row
-    nodes_pad = np.concatenate([nodes, np.zeros(b_pad - b, np.int32)])
+    chunk = 1024
 
-    cand = jnp.asarray(cand, jnp.int32)
+    for start in range(0, len(all_nodes), chunk):
+        nodes = all_nodes[start : start + chunk]
+        b = len(nodes)
+        cand = np.full((chunk, c), 2**31 - 1, np.int64)
+        for i, v in enumerate(nodes):
+            neigh = graph[v][graph[v] >= 0]
+            ex = np.fromiter(extras[v], np.int64)[:64]
+            row = np.concatenate([neigh, ex])[:c]
+            cand[i, : len(row)] = row
+        nodes_pad = np.concatenate(
+            [nodes, np.zeros(chunk - b, np.int32)]
+        )
+
+        new_rows = np.asarray(
+            _score_sort_prune(
+                vec_dev,
+                jnp.asarray(nodes_pad),
+                jnp.asarray(cand, jnp.int32),
+                jnp.float32(cfg.alpha),
+                jnp.float32(cfg.query_alpha),
+                bp,
+                jnp.asarray(
+                    np.logical_or(
+                        cfg.saturate_graph,
+                        nodes_pad >= cfg.query_breakpoint,
+                    )
+                ),
+                r=cfg.r,
+            )
+        )
+        for i, v in enumerate(nodes):
+            row = new_rows[i]
+            row = row[row >= 0]
+            graph[v, : len(row)] = row
+            graph[v, len(row) :] = -1
+            degrees[v] = len(row)
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def _score_sort_prune(
+    vec_dev, nodes, cand, alpha, query_alpha, bp, saturate, r: int
+):
+    """Score candidates against their node, sort best-first, prune —
+    fused in one jit so intermediates never round-trip eagerly."""
     valid = cand != 2**31 - 1
     csafe = jnp.where(valid, cand, 0)
-    pvecs = vec_dev[jnp.asarray(nodes_pad)]
+    pvecs = vec_dev[nodes]
     cvecs = vec_dev[csafe]
     scores = jnp.einsum(
         "bd,bcd->bc", pvecs, cvecs, preferred_element_type=jnp.float32
@@ -508,29 +543,9 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_nodes, cfg, bp):
     order = jnp.lexsort((cand, -scores))
     cand = jnp.take_along_axis(cand, order, 1)
     scores = jnp.take_along_axis(scores, order, 1)
-
-    saturate = jnp.asarray(
-        np.logical_or(cfg.saturate_graph, nodes_pad >= cfg.query_breakpoint)
+    return _batched_robust_prune(
+        vec_dev, nodes, cand, scores, alpha, query_alpha, bp, saturate, r=r
     )
-    new_rows = np.asarray(
-        _batched_robust_prune(
-            vec_dev,
-            jnp.asarray(nodes_pad),
-            cand,
-            scores,
-            jnp.float32(cfg.alpha),
-            jnp.float32(cfg.query_alpha),
-            bp,
-            saturate,
-            r=cfg.r,
-        )
-    )
-    for i, v in enumerate(nodes):
-        row = new_rows[i]
-        row = row[row >= 0]
-        graph[v, : len(row)] = row
-        graph[v, len(row) :] = -1
-        degrees[v] = len(row)
 
 
 def robust_stitch(
