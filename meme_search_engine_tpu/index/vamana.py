@@ -144,8 +144,11 @@ def _batched_greedy_search(
     buf_scores = jnp.full((b, l), -jnp.inf, jnp.float32).at[:, 0].set(s0)
     buf_visited = jnp.zeros((b, l), bool)
 
-    # visited/scored pool for robust_prune (running top-maxc)
-    pool_n = maxc if collect_pool else 1
+    # visited/scored pool for robust_prune: an append-only log written at
+    # step offsets — zero sort work inside the loop; deduped + ranked
+    # ONCE after the search (the per-step running-top-maxc alternative
+    # costs two more (B, maxc+E*R) sorts per hop)
+    pool_n = max_steps * expand * r if collect_pool else 1
     pool_ids = jnp.full((b, pool_n), INVALID, jnp.int32)
     pool_scores = jnp.full((b, pool_n), -jnp.inf, jnp.float32)
 
@@ -210,14 +213,15 @@ def _batched_greedy_search(
         m_visited = jnp.take_along_axis(m_visited, order, 1)[:, :l]
 
         if collect_pool:
-            # accumulate scored candidates into the prune pool
+            # append scored candidates at this step's offset
             # (visited_list semantics: every scored neighbour included)
-            p_ids = jnp.concatenate([pool_ids, nids], axis=1)
-            p_scores = jnp.concatenate([pool_scores, nscores], axis=1)
-            p_scores, p_ids = _dedupe_by_id(p_scores, p_ids)
-            order = jnp.lexsort((p_ids, -p_scores))
-            p_ids = jnp.take_along_axis(p_ids, order, 1)[:, :pool_n]
-            p_scores = jnp.take_along_axis(p_scores, order, 1)[:, :pool_n]
+            width = expand * r
+            p_ids = jax.lax.dynamic_update_slice(
+                pool_ids, nids, (0, step * width)
+            )
+            p_scores = jax.lax.dynamic_update_slice(
+                pool_scores, nscores, (0, step * width)
+            )
         else:
             p_ids, p_scores = pool_ids, pool_scores
 
@@ -233,7 +237,7 @@ def _batched_greedy_search(
     )
     if not collect_pool:
         return buf_scores, buf_ids, steps
-    # seed candidate also belongs in the pool
+    # one dedupe + rank over the whole visited log (+ the seed candidate)
     pool_ids, pool_scores = _merge_pool(
         pool_ids, pool_scores,
         jnp.full((b, 1), start, jnp.int32), s0[:, None], maxc,
@@ -375,7 +379,10 @@ def build_graph(
     n, d = vectors.shape
     cfg = config
     rng = np.random.default_rng(seed)
-    max_steps = cfg.max_search_steps or 4 * cfg.l
+    # 2*l hop budget: the beam visits <= l entries unless truncation
+    # re-exposes previously visited nodes; the recall harness validates
+    # the bound (and it also caps the visited-log pool size)
+    max_steps = cfg.max_search_steps or 2 * cfg.l
 
     vec_dev = jnp.asarray(vectors, jnp.float32)
     if graph is None:
