@@ -51,7 +51,8 @@ class VamanaConfig:
     query_alpha: float = 1.0
     max_add_per_stitch_iter: int = 16
     batch_size: int = 512  # nodes per synchronous build round
-    max_search_steps: int = 0  # 0 -> auto (4*l)
+    max_search_steps: int = 0  # 0 -> auto
+    build_expand: int = 1  # beam entries popped per hop during build
 
 
 def medioid(vectors: np.ndarray) -> int:
@@ -412,6 +413,7 @@ def build_graph(
         pool_scores, pool_ids, _steps = _batched_greedy_search(
             vec_dev, graph_dev, queries, jnp.int32(med), bp,
             l=cfg.l, maxc=cfg.maxc, max_steps=max_steps, base_only=base_only,
+            expand=cfg.build_expand,
         )
 
         # merge existing out-neighbours into the candidate pool
