@@ -33,6 +33,12 @@ from ..pipeline.formats import IndexHeader, PackedIndexEntry
 
 DUPLICATES_THRESHOLD = 0.95  # query_disk_index.rs:99
 
+import jax as _jax  # noqa: E402 — jit wrapper is lazy, no backend init
+
+_dedup_jit = _jax.jit(
+    lambda e, s: dedup_matches(e, s, DUPLICATES_THRESHOLD)
+)
+
 
 @dataclasses.dataclass
 class SearchCounters:
@@ -103,7 +109,6 @@ class DiskIndex:
 
     def read_nodes(self, ids: Sequence[int]) -> List[PackedIndexEntry]:
         records = self.io.read_batch(list(ids))
-        self_counters_unused = None
         return [PackedIndexEntry.unpack(r) for r in records]
 
     # -- search -------------------------------------------------------------
@@ -209,13 +214,17 @@ class DiskIndex:
         if dedup and len(results) > 1:
             import jax.numpy as jnp
 
-            embs = np.stack([r.embedding for r in results])
-            scores = np.asarray([r.score for r in results], np.float32)
+            m = len(results)
+            # pad to pow2 rows so the jitted dedup compiles per bucket,
+            # not per result count (zero rows have sim 0 -> always kept)
+            m_pad = 1 << (m - 1).bit_length()
+            embs = np.zeros((m_pad, len(results[0].embedding)), np.float32)
+            embs[:m] = np.stack([r.embedding for r in results])
+            scores = np.full((m_pad,), -np.inf, np.float32)
+            scores[:m] = [r.score for r in results]
             keep = np.asarray(
-                dedup_matches(
-                    jnp.asarray(embs), jnp.asarray(scores), DUPLICATES_THRESHOLD
-                )
-            )
+                _dedup_jit(jnp.asarray(embs), jnp.asarray(scores))
+            )[:m]
             results = [r for r, k_ in zip(results, keep) if k_]
         return results[:k], counters
 

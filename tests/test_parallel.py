@@ -104,3 +104,30 @@ def test_encode_under_mesh_matches_single_device(mesh4x2):
     sharded = shard_params(params, mesh4x2)
     out = np.asarray(siglip.encode_image(sharded, imgs, cfg))
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_checkpoint_roundtrip(mesh4x2, tmp_path):
+    """Sharded train state save/restore (orbax)."""
+    from meme_search_engine_tpu.models import siglip
+    from meme_search_engine_tpu.parallel.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+    from meme_search_engine_tpu.parallel.train import make_train_state
+
+    cfg = siglip.tiny_test_config()
+    params, opt, opt_state = make_train_state(
+        jax.random.PRNGKey(3), cfg, mesh4x2
+    )
+    save_train_state(str(tmp_path / "ckpt"), params, opt_state, step=50)
+    p2, os2, step = restore_train_state(
+        str(tmp_path / "ckpt"), params, opt_state
+    )
+    assert step == 50
+    a = params["img"]["patch_embed"]["w"]
+    b = p2["img"]["patch_embed"]["w"]
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)
+    )
+    # restored arrays keep their mesh sharding
+    assert b.sharding.spec == a.sharding.spec
