@@ -303,7 +303,7 @@ def test_disk_query_server(built_index, tmp_path):
         finally:
             await client.close()
 
-    asyncio.get_event_loop().run_until_complete(run())
+    asyncio.run(run())
     import time
 
     time.sleep(0.2)  # writer thread flush

@@ -48,7 +48,7 @@ def service(tmp_path_factory):
         status = await svc.reload()
         return svc, status
 
-    svc, status = asyncio.get_event_loop().run_until_complete(build())
+    svc, status = asyncio.new_event_loop().run_until_complete(build())
     return svc, status, tmp_path
 
 
@@ -64,7 +64,7 @@ def test_ingest_idempotent(service):
     async def again():
         return await svc.ingest()
 
-    stats = asyncio.get_event_loop().run_until_complete(again())
+    stats = asyncio.new_event_loop().run_until_complete(again())
     assert stats.embedded == 0 and stats.deleted == 0
 
 
@@ -123,7 +123,7 @@ def test_query_api_roundtrip(service):
         finally:
             await client.close()
 
-    asyncio.get_event_loop().run_until_complete(run())
+    asyncio.run(run())
 
 
 def test_clip_server_wire_contract(service):
@@ -178,4 +178,4 @@ def test_clip_server_wire_contract(service):
         finally:
             await client.close()
 
-    asyncio.get_event_loop().run_until_complete(run())
+    asyncio.run(run())

@@ -181,6 +181,6 @@ def test_rater_server_app(tmp_path):
         finally:
             await client.close()
 
-    asyncio.get_event_loop().run_until_complete(run())
+    asyncio.run(run())
     pairs, targets, names = db.pairs()
     assert ("m0.png", "m1.png") in names
