@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["VamanaConfig", "build_graph", "medioid", "random_fill", "GreedyCounters"]
+__all__ = ["VamanaConfig", "build_graph", "medioid", "random_fill", "robust_stitch", "search"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,21 +68,9 @@ def random_fill(n: int, r: int, seed: int = 0) -> np.ndarray:
     return rng.integers(0, n, (n, r), dtype=np.int32)
 
 
-@dataclasses.dataclass
-class GreedyCounters:
-    distances: int = 0
-
-
 # ---------------------------------------------------------------------------
 # device-side primitives
 # ---------------------------------------------------------------------------
-
-
-def _sort_desc_with_ids(scores, ids):
-    """Sort by (score desc, id asc) — a total order like the reference's
-    fixed-point i64 compare."""
-    order = jnp.lexsort((ids, -scores))
-    return jnp.take_along_axis(scores, order, 1), jnp.take_along_axis(ids, order, 1)
 
 
 def _dedupe_by_id(scores, ids):
