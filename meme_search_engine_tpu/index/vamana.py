@@ -592,14 +592,20 @@ def robust_stitch(
     qneigh = graph[qs]  # (P, R) query out-neighbours
     valid = qneigh >= 0
     qsafe = np.where(valid, qneigh, 0)
-    scores = np.array(
-        jnp.einsum(
-            "pd,prd->pr",
-            vec_dev[jnp.asarray(in_ns)],
-            vec_dev[jnp.asarray(qsafe)],
-            preferred_element_type=jnp.float32,
+    # chunked scoring: the (P, R, D) gather at full P is O(10 GB) on
+    # large shards
+    scores = np.empty(qneigh.shape, np.float32)
+    chunk = 8192
+    for s0 in range(0, len(pairs), chunk):
+        sl = slice(s0, min(len(pairs), s0 + chunk))
+        scores[sl] = np.asarray(
+            jnp.einsum(
+                "pd,prd->pr",
+                vec_dev[jnp.asarray(in_ns[sl])],
+                vec_dev[jnp.asarray(qsafe[sl])],
+                preferred_element_type=jnp.float32,
+            )
         )
-    )
     scores[~valid] = -np.inf
     order = np.argsort(-scores, axis=1)
 
