@@ -15,7 +15,7 @@ steps are O(matmul) with no host round-trips inside the loop.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,7 @@ import io
 import json
 import re
 import time
-from typing import Callable, List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Callable, List, Optional, Tuple
 
 __all__ = ["chunk_image", "scan_chunks", "ocr_image", "lens_backend"]
 

@@ -15,7 +15,7 @@ equivalent is a 2-D ``Mesh``:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -9,16 +9,12 @@ per :mod:`mesh` tensor-parallel specs, the batch is sharded over the
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Tuple
-
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import siglip
-from .mesh import DATA, shard_params, siglip_param_specs
+from .mesh import DATA, shard_params
 
 __all__ = ["make_train_state", "make_train_step"]
 

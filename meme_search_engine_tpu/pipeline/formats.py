@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import BinaryIO, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Tuple
 
 import msgpack
 import numpy as np

@@ -19,19 +19,13 @@ import collections
 import hashlib
 import os
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..index.opq import ProductQuantizer
 from .dump import ProcessedEntry, read_dump
-from .formats import (
-    RECORD_PAD_SIZE,
-    IndexHeader,
-    PackedIndexEntry,
-    ShardInputHeader,
-    write_shard_input,
-)
+from .formats import RECORD_PAD_SIZE, IndexHeader, PackedIndexEntry
 
 DEDUP_RING_SIZE = 1 << 20  # dump_processor.rs ring capacity
 SHARD_SPILL = 2  # dump_processor.rs:134

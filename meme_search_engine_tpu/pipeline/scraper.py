@@ -28,7 +28,7 @@ import numpy as np
 from .dump import DumpWriter, OriginalImageMetadata, ProcessedEntry, latest_timestamp
 
 try:
-    from prometheus_client import Counter, Histogram
+    from prometheus_client import Counter
 
     _FETCHED = Counter("mse_scrape_images_fetched", "images fetched")
     _PROCESSED = Counter("mse_scrape_images_processed", "images processed")

@@ -11,7 +11,7 @@ auroc_test.py, roc_plot.py, final_eval_results.py).
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Iterator, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

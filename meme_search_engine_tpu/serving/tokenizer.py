@@ -16,7 +16,7 @@ it produces stable ids but not c4_en-compatible ones.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

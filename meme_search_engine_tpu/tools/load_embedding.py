@@ -15,8 +15,6 @@ from __future__ import annotations
 import argparse
 import base64
 
-import numpy as np
-
 from ..ingest.db import IngestDB
 from ..utils.fp16 import decode_fp16_buffer
 
