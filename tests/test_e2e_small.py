@@ -179,3 +179,29 @@ def test_clip_server_wire_contract(service):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_pow2_buckets():
+    """Greedy pow2 batch decomposition (clip_accursed.py:77-91 pattern)."""
+    from meme_search_engine_tpu.serving.engine import pow2_buckets
+
+    assert pow2_buckets(1, 128) == [1]
+    assert pow2_buckets(128, 128) == [128]
+    assert pow2_buckets(100, 128) == [64, 32, 4]
+    assert pow2_buckets(300, 128) == [128, 128, 32, 8, 4]
+    assert sum(pow2_buckets(77, 16)) == 77
+    assert max(pow2_buckets(77, 16)) <= 16
+
+
+def test_engine_bucketing_consistency(service):
+    """Bucketed split must give identical embeddings to one batch."""
+    svc, _, _ = service
+    engine = svc.embedder.engine
+    rng = np.random.default_rng(9)
+    r = engine.cfg.image_size
+    imgs = rng.integers(0, 256, (5, r, r, 3), dtype=np.uint8)  # 5 -> 4+1
+    full = engine.embed_image_arrays(imgs)
+    parts = np.concatenate(
+        [engine.embed_image_arrays(imgs[:4]), engine.embed_image_arrays(imgs[4:])]
+    )
+    np.testing.assert_allclose(full, parts, rtol=1e-4, atol=1e-5)
