@@ -20,24 +20,17 @@ candidates/hop, kernel-launch latency would dominate any device gain
 from __future__ import annotations
 
 import dataclasses
-import heapq
+
 import mmap
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.mips import dedup_matches
 from .opq import ProductQuantizer
 from ..pipeline.formats import IndexHeader, PackedIndexEntry
 
 DUPLICATES_THRESHOLD = 0.95  # query_disk_index.rs:99
-
-import jax as _jax  # noqa: E402 — jit wrapper is lazy, no backend init
-
-_dedup_jit = _jax.jit(
-    lambda e, s: dedup_matches(e, s, DUPLICATES_THRESHOLD)
-)
 
 
 @dataclasses.dataclass
@@ -141,36 +134,40 @@ class DiskIndex:
         use_desc = bool(np.any(descriptor_scales != 0))
 
         lut = self.quantizer.preprocess_query(query)  # (chunks, C)
+        chunk_idx = np.arange(self.n_chunks)
 
         if start_id is None:
             start_id = self.shard_medioids[self.select_shard(query)]
 
-        # candidate buffer: max-heap by approx score, visited tracking
-        visited_adjacent = {start_id}
+        # frontier as flat numpy arrays + a seen-bitmap: the per-hop work
+        # (dedupe, ADC, top-beamwidth selection) is all vectorised — a
+        # python heap costs ~pq_comparisons pushes per query (measured
+        # 4x the total search time at search_list=500)
+        seen = np.zeros(self.header.count, bool)
+        seen[start_id] = True
         visited: Dict[int, SearchResult] = {}
-        start_approx = float(
-            lut[np.arange(self.n_chunks), self.pq_codes[start_id]].sum()
+        f_ids = np.asarray([start_id], np.int64)
+        f_scores = np.asarray(
+            [lut[chunk_idx, self.pq_codes[start_id]].sum()], np.float32
         )
         counters.pq_comparisons += 1
-        frontier: List[Tuple[float, int]] = [(-start_approx, start_id)]
-        in_buffer = {start_id}
-        buffer_scores = {start_id: start_approx}
 
-        while frontier:
-            # pop up to beamwidth best unvisited candidates
-            batch = []
-            while frontier and len(batch) < beamwidth:
-                _negs, nid = heapq.heappop(frontier)
-                if nid in visited:
-                    continue
-                batch.append(nid)
-            if not batch:
-                break
+        while len(f_ids):
+            # pop the top-beamwidth frontier candidates
+            bw = min(beamwidth, len(f_ids))
+            if len(f_ids) > bw:
+                top = np.argpartition(-f_scores, bw - 1)[:bw]
+            else:
+                top = np.arange(len(f_ids))
+            batch = f_ids[top].tolist()
+            mask = np.ones(len(f_ids), bool)
+            mask[top] = False
+            f_ids, f_scores = f_ids[mask], f_scores[mask]
 
             nodes = self.read_nodes(batch)  # beamwidth-parallel IO
             counters.node_reads += len(nodes)
 
-            new_candidates: List[int] = []
+            new_candidates: List[np.ndarray] = []
             for node in nodes:
                 exact = float(query @ node.vector)
                 visited[node.id] = SearchResult(
@@ -183,49 +180,56 @@ class DiskIndex:
                     dimensions=node.dimensions,
                     embedding=node.vector,
                 )
-                for v in node.vertices:
-                    if v not in visited_adjacent:
-                        visited_adjacent.add(v)
-                        new_candidates.append(v)
+                if node.vertices:
+                    new_candidates.append(
+                        np.asarray(node.vertices, np.int64)
+                    )
 
             if new_candidates:
-                cand = np.asarray(new_candidates)
-                codes = self.pq_codes[cand]  # (C, chunks)
-                approx = lut[np.arange(self.n_chunks)[None, :], codes].sum(
-                    axis=1
-                )
-                counters.pq_comparisons += len(cand)
-                if use_desc:
-                    approx = approx + (
-                        self.descriptors[cand].astype(np.float32)
-                        @ descriptor_scales
+                cand = np.unique(np.concatenate(new_candidates))
+                cand = cand[~seen[cand]]
+                seen[cand] = True
+                if len(cand):
+                    codes = self.pq_codes[cand]  # (C, chunks)
+                    approx = lut[chunk_idx[None, :], codes].sum(axis=1)
+                    counters.pq_comparisons += len(cand)
+                    if use_desc:
+                        approx = approx + (
+                            self.descriptors[cand].astype(np.float32)
+                            @ descriptor_scales
+                        )
+                    f_ids = np.concatenate([f_ids, cand])
+                    f_scores = np.concatenate(
+                        [f_scores, approx.astype(np.float32)]
                     )
-                # keep the buffer bounded at search_list candidates
-                for cid, a in zip(cand.tolist(), approx.tolist()):
-                    heapq.heappush(frontier, (-a, cid))
-                if len(frontier) > search_list * 2:
-                    frontier = heapq.nsmallest(search_list, frontier)
-                    heapq.heapify(frontier)
+                    if len(f_ids) > search_list * 2:
+                        keep = np.argpartition(-f_scores, search_list)[
+                            :search_list
+                        ]
+                        f_ids, f_scores = f_ids[keep], f_scores[keep]
 
             if len(visited) >= search_list:
                 break
 
         results = sorted(visited.values(), key=lambda r: -r.score)
         if dedup and len(results) > 1:
-            import jax.numpy as jnp
-
-            m = len(results)
-            # pad to pow2 rows so the jitted dedup compiles per bucket,
-            # not per result count (zero rows have sim 0 -> always kept)
-            m_pad = 1 << (m - 1).bit_length()
-            embs = np.zeros((m_pad, len(results[0].embedding)), np.float32)
-            embs[:m] = np.stack([r.embedding for r in results])
-            scores = np.full((m_pad,), -np.inf, np.float32)
-            scores[:m] = [r.score for r in results]
-            keep = np.asarray(
-                _dedup_jit(jnp.asarray(embs), jnp.asarray(scores))
-            )[:m]
-            results = [r for r, k_ in zip(results, keep) if k_]
+            # host-side n^2 dedup over the candidates that can still make
+            # the top-k; a device dispatch here would dominate the query
+            # latency (results are rank-sorted so 4k is plenty of slack)
+            cands = results[: max(4 * k, 64)]
+            embs = np.stack([r.embedding for r in cands]).astype(np.float32)
+            embs /= np.maximum(
+                np.linalg.norm(embs, axis=1, keepdims=True), 1e-30
+            )
+            sim = embs @ embs.T
+            keep = []
+            dropped = np.zeros(len(cands), bool)
+            for i in range(len(cands)):
+                if dropped[i]:
+                    continue
+                keep.append(cands[i])
+                dropped |= sim[i] > DUPLICATES_THRESHOLD
+            results = keep + results[len(cands):]
         return results[:k], counters
 
     # -- offline evaluation (query_disk_index.rs:225-343) -------------------

@@ -99,14 +99,17 @@ class ProductQuantizer:
 
     def preprocess_query(self, query: np.ndarray) -> np.ndarray:
         """Query -> LUT (n_chunks, C) of per-chunk centroid dots
-        (vector.rs:367-384)."""
-        lut = _make_lut(
-            jnp.asarray(query, jnp.float32),
-            jnp.asarray(self.transform),
-            jnp.asarray(self.centroids),
-            self.n_dims_per_code,
+        (vector.rs:367-384).
+
+        Host numpy: this sits on the per-query serving latency path (one
+        ~100 KFLOP GEMV) where a device dispatch would cost more than the
+        math (SURVEY hard-part 4)."""
+        qt = np.asarray(query, np.float32) @ self.transform.T
+        qc = qt.reshape(self.n_chunks, self.n_dims_per_code)
+        cc = self.centroids.reshape(
+            self.n_centroids, self.n_chunks, self.n_dims_per_code
         )
-        return np.asarray(lut)
+        return np.einsum("kd,ckd->kc", qc, cc, optimize=True)
 
     def asymmetric_dot(self, lut: np.ndarray, codes: np.ndarray) -> np.ndarray:
         """LUT-sum ADC scores, fp32 accumulation (vector.rs:387-405 keeps
