@@ -123,7 +123,10 @@ def fused_mha_pallas(
 
     b, s, h, d = q.shape
     scale = 1.0 / (d**0.5)
-    dp = max(128, ((d + 127) // 128) * 128)
+    # Mosaic pads sub-128 minor dims in VMEM itself; padding in HBM here
+    # would add 3 full q/k/v copy passes for zero kernel-time gain
+    # (measured identical at Dh=72)
+    dp = d if d % 8 == 0 else ((d + 7) // 8) * 8
     hpp = 2 if (b * h) % 2 == 0 else 1
 
     def to_bh(x):
