@@ -54,9 +54,32 @@ class EmbeddingEngine:
         cfg: siglip.SigLIPConfig = siglip.SO400M_14_384,
         max_batch: int = 128,
         tokenizer_path: Optional[str] = None,
+        mesh=None,
+        model_parallel: bool = False,
     ):
+        """``mesh``: optional jax Mesh for multi-chip serving — request
+        batches shard over the ``data`` axis (SURVEY SS2.10 P1/P7: the
+        reference scales with GPU replicas behind a load balancer; a pod
+        is one engine with dp over ICI). ``model_parallel`` additionally
+        applies the Megatron tp layout from parallel.mesh to the params.
+        """
         self.cfg = cfg
         self.max_batch = max_batch
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import shard_params
+
+            if model_parallel:
+                params = shard_params(params, mesh)
+            else:
+                params = jax.device_put(
+                    params, NamedSharding(mesh, P())
+                )
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+        else:
+            self._batch_sharding = None
         self.params = params
         self.tokenizer = load_tokenizer(
             tokenizer_path, cfg.vocab_size, cfg.text_len
@@ -91,6 +114,13 @@ class EmbeddingEngine:
 
     # -- inference ----------------------------------------------------------
 
+    def _put(self, chunk: np.ndarray):
+        if self._batch_sharding is not None and (
+            chunk.shape[0] % self.mesh.shape["data"] == 0
+        ):
+            return jax.device_put(chunk, self._batch_sharding)
+        return jnp.asarray(chunk)
+
     def _run_bucketed(self, fn, batch: np.ndarray) -> np.ndarray:
         n = batch.shape[0]
         out = np.empty((n, self.cfg.d_emb), dtype=np.float32)
@@ -98,7 +128,7 @@ class EmbeddingEngine:
         futures = []
         for b in pow2_buckets(n, self.max_batch):
             chunk = batch[i : i + b]
-            futures.append((i, b, fn(jnp.asarray(chunk))))
+            futures.append((i, b, fn(self._put(chunk))))
             i += b
         for i, b, dev in futures:
             out[i : i + b] = np.asarray(dev)

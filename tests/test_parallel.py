@@ -131,3 +131,28 @@ def test_checkpoint_roundtrip(mesh4x2, tmp_path):
     )
     # restored arrays keep their mesh sharding
     assert b.sharding.spec == a.sharding.spec
+
+
+def test_engine_multichip_dp(mesh8):
+    """Engine with a mesh shards request batches over the data axis and
+    matches single-device outputs."""
+    from meme_search_engine_tpu.models import siglip
+    from meme_search_engine_tpu.serving.engine import EmbeddingEngine
+
+    cfg = siglip.tiny_test_config()
+    params = siglip.init_params(jax.random.PRNGKey(0), cfg)
+    single = EmbeddingEngine(params, cfg, max_batch=16)
+    multi = EmbeddingEngine(params, cfg, max_batch=16, mesh=mesh8)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(
+        0, 256, (16, cfg.image_size, cfg.image_size, 3), dtype=np.uint8
+    )
+    np.testing.assert_allclose(
+        multi.embed_image_arrays(imgs),
+        single.embed_image_arrays(imgs),
+        rtol=2e-2, atol=2e-3,
+    )
+    texts = ["a", "b c", "d e f"]
+    np.testing.assert_allclose(
+        multi.embed_texts(texts), single.embed_texts(texts), rtol=2e-2, atol=2e-3
+    )
