@@ -194,6 +194,10 @@ def make_app(
             return web.Response(body=generate_latest(REGISTRY))
         return web.Response(status=501)
 
+    async def telemetry(_request):
+        # frontend beacons; the small backend just acknowledges them
+        return _cors(web.Response(status=204))
+
     async def options(_request):
         return _cors(web.Response(status=204))
 
@@ -201,6 +205,7 @@ def make_app(
     app.router.add_get("/", frontend_init)
     app.router.add_post("/", query)
     app.router.add_post("/reload", reload)
+    app.router.add_post("/telemetry", telemetry)
     app.router.add_get("/metrics", metrics)
     app.router.add_route("OPTIONS", "/", options)
     return app
