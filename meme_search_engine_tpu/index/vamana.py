@@ -133,20 +133,26 @@ def _batched_greedy_search(
     buf_scores = jnp.full((b, l), -jnp.inf, jnp.float32).at[:, 0].set(s0)
     buf_visited = jnp.zeros((b, l), bool)
 
+    # per-query seen bitmap — the reference's visited hash set
+    # (lib.rs:195-199: a neighbour is scored at most once per search).
+    # It also means the beam merge never sees duplicate ids, so the merge
+    # is ONE top-k selection instead of two dedupe lexsorts per hop.
+    seen = jnp.zeros((b, n), bool).at[:, start].set(True)
+
     # visited/scored pool for robust_prune: an append-only log written at
     # step offsets — zero sort work inside the loop; deduped + ranked
-    # ONCE after the search (the per-step running-top-maxc alternative
-    # costs two more (B, maxc+E*R) sorts per hop)
+    # ONCE after the search
     pool_n = max_steps * expand * r if collect_pool else 1
     pool_ids = jnp.full((b, pool_n), INVALID, jnp.int32)
     pool_scores = jnp.full((b, pool_n), -jnp.inf, jnp.float32)
 
     def cond(state):
-        _bi, _bs, bv, _pi, _ps, step, done = state
+        _bi, _bs, bv, _seen, _pi, _ps, step, done = state
         return jnp.logical_and(step < max_steps, jnp.logical_not(done))
 
     def body(state):
-        buf_ids, buf_scores, buf_visited, pool_ids, pool_scores, step, _ = state
+        (buf_ids, buf_scores, buf_visited, seen, pool_ids, pool_scores,
+         step, _) = state
 
         # pop the best `expand` unvisited slots (buffer is best-first)
         unvisited = jnp.logical_and(~buf_visited, buf_ids != INVALID)
@@ -172,34 +178,46 @@ def _batched_greedy_search(
             # OOD: skip query nodes when searching for base vectors
             # (lib.rs:196-199)
             valid = jnp.logical_and(valid, neigh < query_breakpoint)
-        valid = jnp.logical_and(
-            valid, jnp.repeat(slot_ok, r, axis=1)
+        valid = jnp.logical_and(valid, jnp.repeat(slot_ok, r, axis=1))
+        # never re-admit a seen node (first occurrence in this hop wins;
+        # intra-hop duplicates collapse via a segment-max on the bitmap)
+        valid = jnp.logical_and(valid, ~seen[rows, neigh_safe])
+        # mark + drop intra-hop duplicates: after setting the bitmap,
+        # recompute which candidate slots were the first writer
+        seen = seen.at[rows, jnp.where(valid, neigh_safe, 0)].set(
+            jnp.logical_or(
+                seen[rows, jnp.where(valid, neigh_safe, 0)], valid
+            )
         )
+        # intra-hop duplicate ids (same node from two expanded parents):
+        # keep the first slot only
+        eq_prev = jnp.zeros_like(valid)
+        if expand > 1:
+            # O(E*R^2/2) pairwise compare only across parent groups
+            for a in range(1, expand):
+                for c in range(a):
+                    eq = (
+                        neigh[:, a * r : (a + 1) * r, None]
+                        == neigh[:, None, c * r : (c + 1) * r]
+                    ).any(axis=2)
+                    eq_prev = eq_prev.at[:, a * r : (a + 1) * r].set(
+                        jnp.logical_or(eq_prev[:, a * r : (a + 1) * r], eq)
+                    )
+        valid = jnp.logical_and(valid, ~eq_prev)
         nscores = jnp.where(valid, nscores, -jnp.inf)
         nids = jnp.where(valid, neigh, INVALID)
 
-        # merge into beam buffer: dedupe by id, keep visited flags
+        # merge into beam buffer: ids are unique by construction, so one
+        # top-l selection suffices (score desc, INVALID sorts last)
         m_ids = jnp.concatenate([buf_ids, nids], axis=1)
         m_scores = jnp.concatenate([buf_scores, nscores], axis=1)
         m_visited = jnp.concatenate(
             [buf_visited, jnp.zeros_like(nids, bool)], axis=1
         )
-        # collapse duplicates: sort by (id, visited desc) so the visited
-        # copy of a rediscovered node wins
-        order = jnp.lexsort((~m_visited, m_ids))
-        m_ids = jnp.take_along_axis(m_ids, order, 1)
-        m_scores = jnp.take_along_axis(m_scores, order, 1)
-        m_visited = jnp.take_along_axis(m_visited, order, 1)
-        dup = jnp.concatenate(
-            [jnp.zeros((b, 1), bool), m_ids[:, 1:] == m_ids[:, :-1]], axis=1
-        )
-        m_scores = jnp.where(dup, -jnp.inf, m_scores)
-        m_ids = jnp.where(dup, INVALID, m_ids)
-        # best-first truncate to L
-        order = jnp.lexsort((m_ids, -m_scores))
-        m_ids = jnp.take_along_axis(m_ids, order, 1)[:, :l]
-        m_scores = jnp.take_along_axis(m_scores, order, 1)[:, :l]
-        m_visited = jnp.take_along_axis(m_visited, order, 1)[:, :l]
+        top_scores, top_pos = jax.lax.top_k(m_scores, l)
+        m_ids = jnp.take_along_axis(m_ids, top_pos, 1)
+        m_scores = top_scores
+        m_visited = jnp.take_along_axis(m_visited, top_pos, 1)
 
         if collect_pool:
             # append scored candidates at this step's offset
@@ -217,13 +235,13 @@ def _batched_greedy_search(
         done = jnp.logical_not(jnp.any(
             jnp.logical_and(~m_visited, m_ids != INVALID)
         ))
-        return (m_ids, m_scores, m_visited, p_ids, p_scores, step + 1, done)
+        return (m_ids, m_scores, m_visited, seen, p_ids, p_scores,
+                step + 1, done)
 
-    state = (buf_ids, buf_scores, buf_visited, pool_ids, pool_scores,
+    state = (buf_ids, buf_scores, buf_visited, seen, pool_ids, pool_scores,
              jnp.int32(0), jnp.bool_(False))
-    buf_ids, buf_scores, buf_visited, pool_ids, pool_scores, steps, _ = (
-        jax.lax.while_loop(cond, body, state)
-    )
+    (buf_ids, buf_scores, buf_visited, _seen, pool_ids, pool_scores, steps,
+     _) = jax.lax.while_loop(cond, body, state)
     if not collect_pool:
         return buf_scores, buf_ids, steps
     # one dedupe + rank over the whole visited log (+ the seed candidate)
