@@ -50,7 +50,7 @@ class VamanaConfig:
     query_breakpoint: int = 2**31 - 1  # ids >= this are OOD query vectors
     query_alpha: float = 1.0
     max_add_per_stitch_iter: int = 16
-    batch_size: int = 512  # nodes per synchronous build round
+    batch_size: int = 1024  # nodes per synchronous build round
     max_search_steps: int = 0  # 0 -> auto
     build_expand: int = 1  # beam entries popped per hop during build
 
