@@ -110,6 +110,26 @@ class DiskIndex:
         """argmax centroid . q (query_disk_index.rs:447-450)."""
         return int(np.argmax(self.shard_centroids @ query))
 
+    def search_all_shards(
+        self, query: np.ndarray, k: int = 20, **kwargs
+    ) -> Tuple[List[SearchResult], SearchCounters]:
+        """Beam search from every shard medioid, rank-merged by exact
+        score (the eval-mode cross-shard pattern,
+        query_disk_index.rs:281-318; trades node reads for the coverage
+        the single-shard serve path gives up)."""
+        merged: Dict[int, SearchResult] = {}
+        total = SearchCounters()
+        for start in self.shard_medioids:
+            results, counters = self.search(
+                query, k, start_id=start, dedup=False, **kwargs
+            )
+            total.node_reads += counters.node_reads
+            total.pq_comparisons += counters.pq_comparisons
+            for r in results:
+                merged[r.id] = r
+        results = sorted(merged.values(), key=lambda r: -r.score)
+        return results[:k], total
+
     def search(
         self,
         query: np.ndarray,

@@ -308,3 +308,20 @@ def test_disk_query_server(built_index, tmp_path):
 
     time.sleep(0.2)  # writer thread flush
     assert os.path.getsize(telemetry_path) > 0
+
+
+def test_search_all_shards_improves_coverage(built_index):
+    """Cross-shard rank-merge recalls at least as much as single-shard."""
+    out_dir, vectors, _ = built_index
+    idx = DiskIndex(out_dir)
+    rng = np.random.default_rng(11)
+    hits_single, hits_multi = 0, 0
+    for qi in rng.integers(0, N, 12):
+        q = vectors[qi]
+        single, _ = idx.search(q, 10, search_list=150, dedup=False)
+        multi, counters = idx.search_all_shards(q, 10, search_list=150)
+        hits_single += qi in [r.id for r in single]
+        hits_multi += qi in [r.id for r in multi]
+        assert counters.node_reads > 0
+    assert hits_multi >= hits_single
+    assert hits_multi >= 10  # self-recall across shards
