@@ -51,6 +51,31 @@ class SearchResult:
     embedding: Optional[np.ndarray] = None
 
 
+def _dedup_results(
+    results: List[SearchResult], k: int
+) -> List[SearchResult]:
+    """Greedy cosine>0.95 near-duplicate drop over the candidates that
+    can still make the top-k (query_disk_index.rs:486-527: each item is
+    compared only against already-KEPT items, so a chain A>B>C with
+    sim(A,B)>t, sim(B,C)>t, sim(A,C)<=t keeps C). Host-side n^2 over a
+    rank-sorted prefix — a device dispatch here would dominate query
+    latency; 4k candidates is plenty of slack."""
+    if len(results) <= 1:
+        return results
+    cands = results[: max(4 * k, 64)]
+    embs = np.stack([r.embedding for r in cands]).astype(np.float32)
+    embs /= np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-30)
+    sim = embs @ embs.T
+    keep = []
+    dropped = np.zeros(len(cands), bool)
+    for i in range(len(cands)):
+        if dropped[i]:
+            continue
+        keep.append(cands[i])
+        dropped |= sim[i] > DUPLICATES_THRESHOLD
+    return keep + results[len(cands):]
+
+
 class DiskIndex:
     """Reader over index.msgpack / index.bin / index.pq-codes.bin /
     index.descriptor-codes.bin."""
@@ -111,12 +136,14 @@ class DiskIndex:
         return int(np.argmax(self.shard_centroids @ query))
 
     def search_all_shards(
-        self, query: np.ndarray, k: int = 20, **kwargs
+        self, query: np.ndarray, k: int = 20, *, dedup: bool = True, **kwargs
     ) -> Tuple[List[SearchResult], SearchCounters]:
         """Beam search from every shard medioid, rank-merged by exact
         score (the eval-mode cross-shard pattern,
         query_disk_index.rs:281-318; trades node reads for the coverage
-        the single-shard serve path gives up)."""
+        the single-shard serve path gives up). Near-duplicate dedup runs
+        once on the merged ranking (matching the single-shard serve
+        path's cosine>0.95 drop)."""
         merged: Dict[int, SearchResult] = {}
         total = SearchCounters()
         for start in self.shard_medioids:
@@ -128,6 +155,8 @@ class DiskIndex:
             for r in results:
                 merged[r.id] = r
         results = sorted(merged.values(), key=lambda r: -r.score)
+        if dedup:
+            results = _dedup_results(results, k)
         return results[:k], total
 
     def search(
@@ -190,6 +219,14 @@ class DiskIndex:
             new_candidates: List[np.ndarray] = []
             for node in nodes:
                 exact = float(query @ node.vector)
+                if use_desc:
+                    # the reference adds the descriptor product to the
+                    # exact score too, so sliders reorder final results
+                    # (query_disk_index.rs:168-169), not just the frontier
+                    exact += float(
+                        self.descriptors[node.id].astype(np.float32)
+                        @ descriptor_scales
+                    )
                 visited[node.id] = SearchResult(
                     id=node.id,
                     score=exact,
@@ -232,24 +269,8 @@ class DiskIndex:
                 break
 
         results = sorted(visited.values(), key=lambda r: -r.score)
-        if dedup and len(results) > 1:
-            # host-side n^2 dedup over the candidates that can still make
-            # the top-k; a device dispatch here would dominate the query
-            # latency (results are rank-sorted so 4k is plenty of slack)
-            cands = results[: max(4 * k, 64)]
-            embs = np.stack([r.embedding for r in cands]).astype(np.float32)
-            embs /= np.maximum(
-                np.linalg.norm(embs, axis=1, keepdims=True), 1e-30
-            )
-            sim = embs @ embs.T
-            keep = []
-            dropped = np.zeros(len(cands), bool)
-            for i in range(len(cands)):
-                if dropped[i]:
-                    continue
-                keep.append(cands[i])
-                dropped |= sim[i] > DUPLICATES_THRESHOLD
-            results = keep + results[len(cands):]
+        if dedup:
+            results = _dedup_results(results, k)
         return results[:k], counters
 
     # -- offline evaluation (query_disk_index.rs:225-343) -------------------

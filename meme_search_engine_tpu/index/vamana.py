@@ -92,8 +92,7 @@ def _dedupe_by_id(scores, ids):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l", "maxc", "max_steps", "base_only", "expand",
-                     "collect_pool"),
+    static_argnames=("l", "maxc", "max_steps", "expand", "collect_pool"),
 )
 def _batched_greedy_search(
     vectors,  # (N, D) f32/bf16 on device
@@ -101,15 +100,18 @@ def _batched_greedy_search(
     queries,  # (B, D) f32
     start,  # scalar i32
     query_breakpoint,  # scalar i32
+    base_only_mask,  # (B,) bool: rows that skip OOD query nodes
     l: int,
     maxc: int,
     max_steps: int,
-    base_only: bool,
     expand: int = 1,
     collect_pool: bool = True,
 ):
     """Lockstep greedy search for B queries (lib.rs:183-211 semantics).
 
+    ``base_only_mask`` is per-row, mirroring the reference's per-node
+    ``base_vectors_only`` flag (lib.rs:196-199, 298-299): True rows
+    never admit OOD query nodes into the beam.
     ``expand`` > 1 pops several unvisited beam entries per step (beam
     expansion, like the disk index's beamwidth reads) — fewer sort
     passes per visited node at the cost of a few extra distance evals.
@@ -174,10 +176,13 @@ def _batched_greedy_search(
         nscores = jnp.einsum(
             "bd,brd->br", qf, nvecs, preferred_element_type=jnp.float32
         )
-        if base_only:
-            # OOD: skip query nodes when searching for base vectors
-            # (lib.rs:196-199)
-            valid = jnp.logical_and(valid, neigh < query_breakpoint)
+        # OOD: rows flagged base-only skip query nodes (lib.rs:196-199)
+        valid = jnp.logical_and(
+            valid,
+            jnp.logical_or(
+                ~base_only_mask[:, None], neigh < query_breakpoint
+            ),
+        )
         valid = jnp.logical_and(valid, jnp.repeat(slot_ok, r, axis=1))
         # never re-admit a seen node (first occurrence in this hop wins;
         # intra-hop duplicates collapse via a segment-max on the bitmap)
@@ -414,14 +419,13 @@ def build_graph(
         queries = vec_dev[jnp.asarray(batch_p)]
         is_query_node = batch_p >= cfg.query_breakpoint
 
-        # base_only=True when the searching node is a query vector; the
-        # reference flips per node (lib.rs:298-299) — we run the whole
-        # batch base_only iff it contains any query nodes (query rounds
-        # are appended after base rounds in practice)
-        base_only = bool(is_query_node.any())
+        # per-row base_only, exactly the reference's per-node flag
+        # (lib.rs:298-299): query nodes search base vectors only; base
+        # nodes see (and may link) query nodes, feeding RobustStitch
         pool_scores, pool_ids, _steps = _batched_greedy_search(
             vec_dev, graph_dev, queries, jnp.int32(med), bp,
-            l=cfg.l, maxc=cfg.maxc, max_steps=max_steps, base_only=base_only,
+            jnp.asarray(is_query_node),
+            l=cfg.l, maxc=cfg.maxc, max_steps=max_steps,
             expand=cfg.build_expand,
         )
 
@@ -680,8 +684,9 @@ def search(
     buf_scores, buf_ids, steps = _batched_greedy_search(
         vec_dev, graph_dev, q, jnp.int32(start),
         jnp.int32(config.query_breakpoint),
+        jnp.ones((q.shape[0],), bool),  # serving never returns OOD nodes
         l=l, maxc=l, max_steps=max_steps,
-        base_only=True, expand=expand, collect_pool=False,
+        expand=expand, collect_pool=False,
     )
     return (
         np.asarray(buf_scores)[:, :k],

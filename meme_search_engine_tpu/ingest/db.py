@@ -62,6 +62,34 @@ _MIGRATIONS = [
         INSERT INTO ocr_fts (filename, ocr) VALUES (new.filename, new.ocr);
     END
     """,
+    # v4+: the original trigger was insert-only, so re-OCR duplicated FTS
+    # rows and deleting a file left orphans. Recreate it delete-first and
+    # purge FTS rows when the file row goes away; clean up any rows the
+    # old trigger left behind.
+    "DROP TRIGGER IF EXISTS files_ocr_insert",
+    """
+    CREATE TRIGGER IF NOT EXISTS files_ocr_insert
+    AFTER UPDATE OF ocr ON files WHEN new.ocr IS NOT NULL
+    BEGIN
+        DELETE FROM ocr_fts WHERE filename = new.filename;
+        INSERT INTO ocr_fts (filename, ocr) VALUES (new.filename, new.ocr);
+    END
+    """,
+    """
+    CREATE TRIGGER IF NOT EXISTS files_ocr_file_delete
+    AFTER DELETE ON files
+    BEGIN
+        DELETE FROM ocr_fts WHERE filename = old.filename;
+    END
+    """,
+    """
+    DELETE FROM ocr_fts WHERE rowid NOT IN (
+        SELECT MAX(rowid) FROM ocr_fts GROUP BY filename
+    )
+    """,
+    """
+    DELETE FROM ocr_fts WHERE filename NOT IN (SELECT filename FROM files)
+    """,
 ]
 
 

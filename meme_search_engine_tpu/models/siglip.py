@@ -17,9 +17,9 @@ for the big_vision config) — but the implementation is built for XLA:
   (the reference does PIL resize on a single Python thread,
   clip_server.py:131-146, and notes it as a bottleneck).
 
-Weight compatibility: parameter names are our own; ``load_hf_siglip`` /
-``load_big_vision`` map checkpoints from HuggingFace
-(google/siglip-so400m-patch14-384) or big_vision layouts onto this tree
+Weight compatibility: parameter names are our own; ``load_hf_siglip``
+maps checkpoints from the HuggingFace layout
+(google/siglip-so400m-patch14-384) onto this tree
 (pattern: aitemplate/run.py:86-113's remapping table).
 """
 

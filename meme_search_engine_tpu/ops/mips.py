@@ -7,16 +7,12 @@ the TPU equivalent: the corpus lives in HBM as fp16, and queries scan it
 as a tiled MXU matmul fused with top-k selection, so per-tile score
 tensors never round-trip through HBM.
 
-Two implementations with one contract:
-
-- :func:`mips_topk` — ``lax.scan`` over corpus tiles; each tile does
-  (upcast -> matmul -> top-k -> merge with running top-k). XLA pipelines
-  the HBM tile reads against the MXU; the running (B, k) state stays in
-  registers/VMEM. This is the production path: at 1e5x1152 it runs at
-  HBM-bandwidth roofline.
-- :func:`mips_topk_pallas` in :mod:`pallas_mips` — hand-scheduled Pallas
-  kernel with explicit double-buffered HBM streaming, for the regime
-  where XLA's automatic pipelining leaves bandwidth on the table.
+:func:`mips_topk` is a ``lax.scan`` over corpus tiles; each tile does
+(upcast -> matmul -> top-k -> merge with running top-k). XLA pipelines
+the HBM tile reads against the MXU; the running (B, k) state stays in
+registers/VMEM. At 1e5x1152 it runs at HBM-bandwidth roofline, which is
+the speed-of-light for this op — a hand-scheduled Pallas variant was
+evaluated and rejected because the XLA schedule already saturates HBM.
 
 Scores are fp32 inner products (the reference orders by i64 fixed-point
 f32*2^32, vector.rs:45-47 — a total-order trick, not extra precision;
@@ -133,10 +129,21 @@ def dedup_matches(
     """
     e = embeddings.astype(jnp.float32)
     e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-30)
-    sim = jnp.dot(e, e.T, preferred_element_type=jnp.float32)
     order = jnp.argsort(-scores)
-    rank = jnp.argsort(order)
-    # drop i if exists j with rank[j] < rank[i] and sim > threshold
-    higher = rank[None, :] < rank[:, None]
-    dominated = jnp.any((sim > threshold) & higher, axis=1)
-    return ~dominated
+    es = e[order]
+    sim = jnp.dot(es, es.T, preferred_element_type=jnp.float32)
+    m = es.shape[0]
+    pos = jnp.arange(m)
+
+    # greedy retain (query_disk_index.rs:514-527): item i is dropped only
+    # if similar to an already-KEPT higher-ranked item, so chains A>B>C
+    # with sim(A,B)>t, sim(B,C)>t, sim(A,C)<=t keep C. Inherently
+    # sequential in rank — one fori_loop over the (M, M) sim matrix.
+    def body(i, kept):
+        dominated = jnp.any(
+            jnp.logical_and(kept, (sim[i] > threshold) & (pos < i))
+        )
+        return kept.at[i].set(~dominated)
+
+    kept_sorted = jax.lax.fori_loop(0, m, body, jnp.zeros((m,), bool))
+    return jnp.zeros((m,), bool).at[order].set(kept_sorted)

@@ -325,3 +325,47 @@ def test_search_all_shards_improves_coverage(built_index):
         assert counters.node_reads > 0
     assert hits_multi >= hits_single
     assert hits_multi >= 10  # self-recall across shards
+
+
+def test_descriptor_sliders_reorder_final_ranking(built_index):
+    """Descriptor scales bias the EXACT rerank score too
+    (query_disk_index.rs:168-169), so sliders reorder returned results,
+    not just the PQ frontier."""
+    out_dir, vectors, _ = built_index
+    idx = DiskIndex(out_dir)
+    q = vectors[3]
+    plain, _ = idx.search(q, 50, search_list=200, dedup=False)
+    # mild slider on descriptor column 0 (uint8 codes, so 0.01 adds up
+    # to ~2.55): enough to reorder, small enough to keep overlap
+    s0 = 0.01
+    scales = np.array([s0, 0, 0, 0], np.float32)
+    biased, _ = idx.search(
+        q, 50, search_list=200, descriptor_scales=scales, dedup=False
+    )
+    by_id_plain = {r.id: r.score for r in plain}
+    moved = [r for r in biased if r.id in by_id_plain]
+    assert moved, "no overlap between runs"
+    # every overlapping node's score includes its descriptor product
+    for r in moved:
+        expect = by_id_plain[r.id] + float(
+            idx.descriptors[r.id, 0].astype(np.float32) * s0
+        )
+        assert abs(r.score - expect) < 1e-3, (r.id, r.score, expect)
+    # and the bias actually reorders the ranking
+    assert [r.id for r in biased] != [r.id for r in plain]
+
+
+def test_search_all_shards_dedups_merged(built_index):
+    """Cross-shard merge applies the cosine>0.95 dedup once on the
+    merged ranking (parity with the single-shard serve path)."""
+    out_dir, vectors, _ = built_index
+    idx = DiskIndex(out_dir)
+    q = vectors[5]
+    deduped, _ = idx.search_all_shards(q, 10, search_list=150)
+    raw, _ = idx.search_all_shards(q, 10, search_list=150, dedup=False)
+    assert len(deduped) <= len(raw) or deduped != raw
+    embs = np.stack([r.embedding for r in deduped]).astype(np.float32)
+    embs /= np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-30)
+    sim = embs @ embs.T
+    np.fill_diagonal(sim, 0)
+    assert sim.max() <= 0.95 + 1e-6

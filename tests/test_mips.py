@@ -78,3 +78,20 @@ def test_dedup_matches():
     scores = jnp.asarray([3.0, 2.0, 1.0])
     keep = np.asarray(dedup_matches(embs, scores, 0.95))
     assert keep.tolist() == [True, False, True]
+
+
+def test_dedup_matches_greedy_chain():
+    """Greedy retain (query_disk_index.rs:514-527): A>B>C with
+    sim(A,B)>t, sim(B,C)>t, sim(A,C)<=t keeps C — C is only compared
+    against KEPT items, and B was dropped."""
+    a = np.zeros(8, np.float32)
+    a[0] = 1.0
+    # b is near a; c is near b but far from a
+    theta_ab = 0.25  # cos ~ 0.969 > 0.95
+    theta_ac = 0.50  # cos ~ 0.878 < 0.95
+    b = np.array([np.cos(theta_ab), np.sin(theta_ab)] + [0] * 6, np.float32)
+    c = np.array([np.cos(theta_ac), np.sin(theta_ac)] + [0] * 6, np.float32)
+    assert float(a @ b) > 0.95 and float(b @ c) > 0.95 and float(a @ c) <= 0.95
+    embs = jnp.asarray(np.stack([a, b, c]))
+    keep = np.asarray(dedup_matches(embs, jnp.asarray([3.0, 2.0, 1.0]), 0.95))
+    assert keep.tolist() == [True, False, True]

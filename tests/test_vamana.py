@@ -116,3 +116,28 @@ def test_ood_query_vectors_and_stitch():
 def test_random_fill_shape():
     g = random_fill(100, 8, seed=3)
     assert g.shape == (100, 8) and g.min() >= 0 and g.max() < 100
+
+
+def test_mixed_batch_base_nodes_link_query_nodes():
+    """base_only is per-node (lib.rs:298-299): base nodes inserted in a
+    batch containing query nodes still score/link query nodes, so
+    base->query edges exist from the prune itself (not only back-edges),
+    feeding RobustStitch."""
+    rng = np.random.default_rng(7)
+    n_base, n_query = 300, 100
+    x = _unit(rng, n_base + n_query, 16)
+    cfg = VamanaConfig(
+        r=8, l=24, maxc=48, batch_size=64,
+        query_breakpoint=n_base, query_alpha=0.9,
+    )
+    graph = build_graph(x, cfg, seed=3)
+    base_rows = graph[:n_base]
+    # with 25% query nodes, per-node base_only must produce plenty of
+    # direct base->query prune selections (batch-wide base_only produced
+    # back-edge-only counts — near-zero for early rounds)
+    n_b2q = int((base_rows >= n_base).sum())
+    assert n_b2q > 0, "no base->query edges at all"
+    # and query nodes still never admit query neighbours via search:
+    # their own rows may contain them only through random init remnants
+    _s, ids, _ = search(x, graph, x[:16], 5, cfg)
+    assert ids.max() < n_base

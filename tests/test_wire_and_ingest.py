@@ -171,3 +171,24 @@ def test_ocr_fts_search(tmp_path):
     assert db.search_ocr_text("cat") == [(fn2, hits[0][1])] or len(
         db.search_ocr_text("cat")
     ) == 1
+
+
+def test_ocr_fts_reocr_and_delete(tmp_path):
+    """Re-OCR replaces (not duplicates) FTS rows; deleting the file row
+    purges them (the v4 trigger migration)."""
+    db = IngestDB(str(tmp_path / "fts2.db"))
+    fn = fncodec.encode_filename(fncodec.Actual("x.png"))
+    db.stage_file(fn, 1, want_ocr=True, want_thumbs=False)
+    db.write_ocr(fn, "first pass text", b"[]")
+    db.write_ocr(fn, "second pass text", b"[]")
+    db.commit()
+    assert db.search_ocr_text("first") == []
+    hits = db.search_ocr_text("second")
+    assert [h[0] for h in hits] == [fn]
+    rows = db.conn.execute(
+        "SELECT COUNT(*) FROM ocr_fts WHERE filename = ?", (fn,)
+    ).fetchone()[0]
+    assert rows == 1
+    db.delete_file(fn)
+    db.commit()
+    assert db.search_ocr_text("second") == []
