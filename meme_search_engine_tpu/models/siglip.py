@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import mha
+from ..ops.attention import fat_layout_ok, fat_vit_mha, fat_width, mha
 
 Params = Dict[str, Any]
 
@@ -56,6 +56,11 @@ class SigLIPConfig:
     text_len: int = 64
     d_emb: int = 1152
     param_dtype: Any = jnp.bfloat16
+    # image-tower attention implementation: "auto" picks the fat-layout
+    # Pallas kernel on TPU (ops/attention.py) and XLA elsewhere;
+    # "xla" forces the XLA path; "fat_interpret" forces the fat path in
+    # Pallas interpreter mode (CPU tests).
+    attn_impl: str = "auto"
 
     @property
     def num_patches(self) -> int:
@@ -85,6 +90,27 @@ def tiny_test_config() -> SigLIPConfig:
         vocab_size=128,
         text_len=16,
         d_emb=64,
+    )
+
+
+def tiny_fat_test_config(attn_impl: str = "fat_interpret") -> SigLIPConfig:
+    """Miniature config that satisfies the fat-kernel layout rules
+    (16 heads x fat_width(7)=8 -> 128 lanes), for CPU interpret tests."""
+    return SigLIPConfig(
+        image_size=28,
+        patch_size=14,
+        width=112,
+        depth=2,
+        mlp_dim=128,
+        num_heads=16,
+        text_width=64,
+        text_depth=2,
+        text_mlp_dim=128,
+        text_num_heads=4,
+        vocab_size=128,
+        text_len=16,
+        d_emb=64,
+        attn_impl=attn_impl,
     )
 
 
@@ -235,16 +261,119 @@ def _encoder(x: jax.Array, blocks: Params, num_heads: int) -> jax.Array:
     return x
 
 
-def _map_head(x: jax.Array, p: Params, num_heads: int) -> jax.Array:
+def _map_head(
+    x: jax.Array, p: Params, num_heads: int, n_valid: Optional[int] = None
+) -> jax.Array:
     """MAP (multihead attention pooling) head; big_vision vit.py MAPHead
-    semantics (reference graph: aitemplate/model.py:82-111)."""
-    b = x.shape[0]
+    semantics (reference graph: aitemplate/model.py:82-111).
+
+    ``n_valid``: when the encoder ran on a row-padded sequence, keys at
+    positions >= n_valid are masked out of the pooling attention.
+    """
+    b, s, d = x.shape
     probe = jnp.broadcast_to(p["probe"][None], (b, 1, p["probe"].shape[-1])).astype(
         x.dtype
     )
-    y = _attn(probe, p, num_heads, kv=x)
+    if n_valid is None or n_valid == s:
+        y = _attn(probe, p, num_heads, kv=x)
+    else:
+        dh = d // num_heads
+        q = _dense(probe, p["q"]).reshape(b, 1, num_heads, dh)
+        k = _dense(x, p["k"]).reshape(b, s, num_heads, dh)
+        v = _dense(x, p["v"]).reshape(b, s, num_heads, dh)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (1.0 / dh**0.5)
+        mask = jnp.arange(s) < n_valid
+        scores = jnp.where(mask[None, None, None, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        y = _dense(o.reshape(b, 1, d), p["o"])
     y = y + _mlp(_layer_norm(y, p["ln"]), p["mlp"])
     return y[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Fat-layout encoder (image tower production path, TPU)
+# ---------------------------------------------------------------------------
+
+
+def _fat_qkv_weights(attn: Params, num_heads: int, head_dim: int):
+    """Assemble fat-layout QKV projection weights (see ops.attention).
+
+    Per head the fat block is [head_dim features, const column, zero
+    pad]; the softmax scale folds into the q weights/bias, the const
+    column rides the bias (q: 1, k: 0, v: 1 = partition-sum column).
+    """
+    c = fat_width(head_dim)
+    d_in = attn["q"]["w"].shape[0]
+    scale = 1.0 / (head_dim**0.5)
+
+    def fat_w(w, s):
+        w = (w * s).reshape(d_in, num_heads, head_dim)
+        return jnp.pad(w, ((0, 0), (0, 0), (0, c - head_dim))).reshape(
+            d_in, num_heads * c
+        )
+
+    def fat_b(b, s, const):
+        b = (b * s).reshape(num_heads, head_dim)
+        b = jnp.pad(b, ((0, 0), (0, c - head_dim)))
+        b = b.at[:, head_dim].set(const)
+        return b.reshape(num_heads * c)
+
+    return (
+        (fat_w(attn["q"]["w"], scale), fat_b(attn["q"]["b"], scale, 1.0)),
+        (fat_w(attn["k"]["w"], 1.0), fat_b(attn["k"]["b"], 1.0, 0.0)),
+        (fat_w(attn["v"]["w"], 1.0), fat_b(attn["v"]["b"], 1.0, 1.0)),
+    )
+
+
+def _encoder_fat(
+    x: jax.Array,
+    blocks: Params,
+    num_heads: int,
+    n_valid: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Padded-sequence encoder using the fat-layout attention kernel.
+
+    x: (B, SP, D) with rows >= n_valid zero-padded. Key masking is baked
+    into the k const column (pad rows overwritten with -1e30 there), so
+    pad rows never influence valid outputs.
+    """
+    b, sp, d = x.shape
+    dh = d // num_heads
+    c = fat_width(dh)
+    # pad-row k content: zeros except -1e30 in each head's const column
+    mask_row = jnp.zeros((num_heads, c), x.dtype).at[:, dh].set(-1e30)
+    mask_row = mask_row.reshape(num_heads * c)
+
+    def step(h, blk):
+        h1 = _layer_norm(h, blk["ln1"])
+        (wq, bq), (wk, bk), (wv, bv) = _fat_qkv_weights(
+            blk["attn"], num_heads, dh
+        )
+        def proj(w, bias):
+            y = jnp.dot(h1, w, preferred_element_type=jnp.float32)
+            return (y + bias.astype(jnp.float32)).astype(h.dtype)
+        qf, kf, vf = proj(wq, bq), proj(wk, bk), proj(wv, bv)
+        kf = jax.lax.dynamic_update_slice(
+            kf,
+            jnp.broadcast_to(mask_row, (b, sp - n_valid, num_heads * c)),
+            (0, n_valid, 0),
+        )
+        attn_out = fat_vit_mha(
+            qf, kf, vf, num_heads, dh, interpret=interpret
+        )
+        h = h + _dense(attn_out, blk["attn"]["o"])
+        h = h + _mlp(_layer_norm(h, blk["ln2"]), blk["mlp"])
+        return h, None
+
+    x, _ = jax.lax.scan(step, x, blocks)
+    return x
 
 
 def preprocess_image(
@@ -296,9 +425,28 @@ def encode_image(
     )
     x = _dense(x, p["patch_embed"])
     x = x + p["pos_emb"][None].astype(x.dtype)
-    x = _encoder(x, p["blocks"], cfg.num_heads)
-    x = _layer_norm(x, p["ln_final"])
-    emb = _map_head(x, p["map_head"], cfg.num_heads).astype(jnp.float32)
+    s = cfg.num_patches
+    sp = ((s + 15) // 16) * 16  # row-pad for aligned kernel/matmul tiling
+    head_dim = cfg.width // cfg.num_heads
+    use_fat = cfg.attn_impl == "fat_interpret" or (
+        cfg.attn_impl == "auto"
+        and jax.default_backend() == "tpu"
+        and fat_layout_ok(cfg.num_heads, head_dim, sp)
+    )
+    if use_fat:
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+        x = _encoder_fat(
+            x, p["blocks"], cfg.num_heads, n_valid=s,
+            interpret=cfg.attn_impl == "fat_interpret",
+        )
+        x = _layer_norm(x, p["ln_final"])
+        emb = _map_head(
+            x, p["map_head"], cfg.num_heads, n_valid=s
+        ).astype(jnp.float32)
+    else:
+        x = _encoder(x, p["blocks"], cfg.num_heads)
+        x = _layer_norm(x, p["ln_final"])
+        emb = _map_head(x, p["map_head"], cfg.num_heads).astype(jnp.float32)
     if normalize:
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
     return emb

@@ -51,3 +51,48 @@ def test_causal_mask():
     out = np.asarray(mha(q, q, q, causal=True))
     # position 0 attends only to itself: output == v[0]
     np.testing.assert_allclose(out[0, 0], np.asarray(q)[0, 0], rtol=1e-5)
+
+
+def test_fat_vit_mha_interpret_matches_masked_xla():
+    """fat_vit_mha with the const-column mask/partition tricks equals
+    masked XLA attention on the valid rows (interpret mode)."""
+    from meme_search_engine_tpu.ops.attention import (
+        fat_layout_ok,
+        fat_vit_mha,
+        fat_width,
+    )
+
+    B, SP, NV, H, D = 2, 16, 11, 16, 7
+    C = fat_width(D)
+    assert fat_layout_ok(H, D, SP)
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((B, SP, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, SP, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, SP, H, D)).astype(np.float32)
+
+    def fat(x, const_valid, const_pad, scale=1.0):
+        f = np.zeros((B, SP, H, C), np.float32)
+        f[:, :, :, :D] = x * scale
+        f[:, :NV, :, D] = const_valid
+        f[:, NV:, :, D] = const_pad
+        return jnp.asarray(f.reshape(B, SP, H * C))
+
+    qf = fat(q, 1.0, 1.0, scale=1.0 / D**0.5)
+    # k fat layout: valid rows carry k features (const col 0); pad rows
+    # are zero except -1e30 in the const col (the MXU-baked mask)
+    kf_np = np.zeros((B, SP, H, C), np.float32)
+    kf_np[:, :NV, :, :D] = k[:, :NV]
+    kf_np[:, NV:, :, D] = -1e30
+    kf = jnp.asarray(kf_np.reshape(B, SP, H * C))
+    vf = fat(v, 1.0, 0.0)
+
+    out = np.asarray(
+        fat_vit_mha(qf, kf, vf, H, D, nq=2, interpret=True)
+    ).reshape(B, SP, H, D)
+
+    # masked XLA reference over valid keys only
+    scores = np.einsum("bqhd,bkhd->bhqk", q, k[:, :NV]) / (D**0.5)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bkhd->bqhd", p, v[:, :NV])
+    np.testing.assert_allclose(out[:, :NV], ref[:, :NV], atol=2e-2)

@@ -88,3 +88,22 @@ def test_param_count_so400m():
     shapes = jax.eval_shape(lambda k: siglip.init_params(k, cfg), jax.random.PRNGKey(0))
     n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
     assert 8.5e8 < n < 9.5e8
+
+
+def test_fat_attention_path_matches_xla():
+    """The production fat-layout attention path (padded rows, masked MAP
+    pooling, MXU-baked mask/partition tricks) matches the XLA encoder
+    numerically (interpret mode on CPU)."""
+    import dataclasses
+
+    cfg_fat = siglip.tiny_fat_test_config("fat_interpret")
+    cfg_xla = dataclasses.replace(cfg_fat, attn_impl="xla")
+    params = siglip.init_params(jax.random.PRNGKey(2), cfg_fat)
+    imgs = np.random.default_rng(3).integers(
+        0, 256, (2, cfg_fat.image_size, cfg_fat.image_size, 3), dtype=np.uint8
+    )
+    e_fat = np.asarray(siglip.encode_image(params, jnp.asarray(imgs), cfg_fat))
+    e_xla = np.asarray(siglip.encode_image(params, jnp.asarray(imgs), cfg_xla))
+    np.testing.assert_allclose(e_fat, e_xla, atol=5e-2)
+    cos = (e_fat * e_xla).sum(-1)
+    assert cos.min() > 0.999, cos
