@@ -33,7 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import fat_layout_ok, fat_vit_mha, fat_width, mha
+from ..ops.attention import (
+    fat_layout_ok,
+    fat_vit_mha,
+    fat_vit_mha_packed,
+    fat_width,
+    mha,
+)
+from ..ops.fused import ln_matmul, matmul_residual
 
 Params = Dict[str, Any]
 
@@ -347,26 +354,28 @@ def _encoder_fat(
     b, sp, d = x.shape
     dh = d // num_heads
     c = fat_width(dh)
-    # pad-row k content: zeros except -1e30 in each head's const column
-    mask_row = jnp.zeros((num_heads, c), x.dtype).at[:, dh].set(-1e30)
-    mask_row = mask_row.reshape(num_heads * c)
 
     def step(h, blk):
-        h1 = _layer_norm(h, blk["ln1"])
         (wq, bq), (wk, bk), (wv, bv) = _fat_qkv_weights(
             blk["attn"], num_heads, dh
         )
-        def proj(w, bias):
-            y = jnp.dot(h1, w, preferred_element_type=jnp.float32)
-            return (y + bias.astype(jnp.float32)).astype(h.dtype)
-        qf, kf, vf = proj(wq, bq), proj(wk, bk), proj(wv, bv)
-        kf = jax.lax.dynamic_update_slice(
-            kf,
-            jnp.broadcast_to(mask_row, (b, sp - n_valid, num_heads * c)),
-            (0, n_valid, 0),
+        # fused LN1 + packed fat-QKV projection (one resident-weight
+        # Pallas matmul; ops/fused.py)
+        nq = 4 if sp % 4 == 0 and (sp // 4) % 8 == 0 else 2
+        # fused LN1 + packed QKV projection; k pad rows get the mask
+        # constant in-kernel (a host-graph update would copy the array)
+        qkvf = ln_matmul(
+            h,
+            blk["ln1"]["g"],
+            blk["ln1"]["b"],
+            jnp.concatenate([wq, wk, wv], axis=1),
+            jnp.concatenate([bq, bk, bv]),
+            nq=nq,
+            interpret=interpret,
+            k_mask=(n_valid, num_heads, c, dh),
         )
-        attn_out = fat_vit_mha(
-            qf, kf, vf, num_heads, dh, interpret=interpret
+        attn_out = fat_vit_mha_packed(
+            qkvf, num_heads, dh, interpret=interpret
         )
         h = h + _dense(attn_out, blk["attn"]["o"])
         h = h + _mlp(_layer_norm(h, blk["ln2"]), blk["mlp"])

@@ -322,3 +322,48 @@ def fat_vit_mha(
         ),
         interpret=interpret,
     )(qf, kf, vf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "head_dim", "nq", "interpret")
+)
+def fat_vit_mha_packed(
+    qkvf: jax.Array,
+    n_heads: int,
+    head_dim: int,
+    *,
+    nq: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`fat_vit_mha` over one packed (B, SP, 3*H*C) array
+    [qf | kf | vf] — the fused LN+QKV projection's output is consumed
+    directly; the kernel reads the three sections as block views, so
+    q/k/v never exist as separate HBM arrays."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, sp, hc3 = qkvf.shape
+    c = fat_width(head_dim)
+    hc = n_heads * c
+    assert hc3 == 3 * hc, (hc3, n_heads, c)
+    assert sp % nq == 0 and (sp // nq) % 8 == 0, (sp, nq)
+    sq = sp // nq
+    return pl.pallas_call(
+        functools.partial(_fat_vit_kernel, h=n_heads, c=c, d=head_dim),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, sq, hc), lambda bb, qq: (bb, qq, 0)),
+            pl.BlockSpec((1, sp, hc), lambda bb, qq: (bb, 0, 1)),
+            pl.BlockSpec((1, sp, hc), lambda bb, qq: (bb, 0, 2)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sq, n_heads * head_dim), lambda bb, qq: (bb, qq, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, sp, n_heads * head_dim), qkvf.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(qkvf, qkvf, qkvf)
