@@ -185,3 +185,83 @@ def test_sae_training_reconstructs():
     assert rel < 0.5, rel
     assert decoder_features(params).shape == (128, 16)
     assert counters.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Reference numeric parity (VERDICT r1 item 6)
+# ---------------------------------------------------------------------------
+
+GOLDEN = "tests/fixtures/score_model_golden.npz"
+
+
+def test_reference_golden_vectors():
+    """The reference's inline golden vectors (score_model.rs:52-63),
+    ported verbatim. They were generated against trained weights
+    (model.safetensors) that the reference repo does NOT ship, so the
+    numeric assertion is gated on the weights being provided; the fixture
+    itself is always validated for shape/float integrity."""
+    import os
+
+    data = np.load(GOLDEN)
+    x, gt = data["input"], data["ground_truth"]
+    assert x.shape == (3, 1152) and gt.shape == (3, 3)
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(gt))
+
+    weights = os.environ.get(
+        "MSE_SCORE_MODEL_WEIGHTS", "tests/fixtures/model.safetensors"
+    )
+    if not os.path.exists(weights):
+        pytest.skip(
+            "reference model.safetensors not available (not shipped in the "
+            "reference repo); set MSE_SCORE_MODEL_WEIGHTS to run the "
+            "numeric parity assertion"
+        )
+    wide = WideScoreModel.load_safetensors(weights)
+    out = wide.score_batch(x)
+    # reference tolerance: |x - y| < 0.1 elementwise (score_model.rs:61-62)
+    assert np.max(np.abs(out - gt)) < 0.1
+
+
+def test_wide_model_torch_oracle():
+    """Cross-framework parity: build the reference ensemble architecture
+    in torch exactly per meme-rater/model.py (Linear d->d -> SiLU ->
+    Linear d->3, 16 members), export with the reference's own formulas
+    (ensemble_to_wide_model.py:44-74: concat hidden weights/biases,
+    block-column down_proj, divide by n_ensemble), then run OUR
+    WideScoreModel runtime on the exported tensors. Catches any matmul
+    orientation / scale / activation mismatch vs the candle runtime
+    (score_model.rs:13-32), independent of JAX."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    e, d, ch = 16, 64, 3
+    hidden_w = [torch.randn(d, d) / d**0.5 for _ in range(e)]
+    hidden_b = [torch.randn(d) * 0.1 for _ in range(e)]
+    out_w = [torch.randn(ch, d) / d**0.5 for _ in range(e)]
+
+    # reference export math (ensemble_to_wide_model.py)
+    big_layer = torch.zeros(e * d, d)
+    big_bias = torch.zeros(e * d)
+    down = torch.zeros(ch, e * d)
+    for i in range(e):
+        big_layer[i * d : (i + 1) * d] = hidden_w[i]
+        big_bias[i * d : (i + 1) * d] = hidden_b[i]
+        down[:, i * d : (i + 1) * d] = out_w[i]
+
+    # torch oracle: ensemble mean with zeroed output bias
+    x = torch.randn(5, d)
+    member_scores = [
+        F.linear(F.silu(F.linear(x, hidden_w[i], hidden_b[i])), out_w[i])
+        for i in range(e)
+    ]
+    truth = torch.stack(member_scores).mean(dim=0)
+
+    wide = WideScoreModel(
+        up_proj=big_layer.numpy(),
+        bias=big_bias.numpy(),
+        down_proj=down.numpy(),
+    )
+    assert abs(wide.scale - 1 / e) < 1e-9  # d_emb/d_hidden == 1/E
+    got = wide.score_batch(x.numpy())
+    np.testing.assert_allclose(got, truth.numpy(), atol=1e-4)
