@@ -40,7 +40,7 @@ from ..ops.attention import (
     fat_width,
     mha,
 )
-from ..ops.fused import ln_matmul, matmul_residual
+from ..ops.fused import ln_matmul, ln_mlp_residual, matmul_residual
 
 Params = Dict[str, Any]
 
@@ -377,8 +377,20 @@ def _encoder_fat(
         attn_out = fat_vit_mha_packed(
             qkvf, num_heads, dh, interpret=interpret
         )
-        h = h + _dense(attn_out, blk["attn"]["o"])
-        h = h + _mlp(_layer_norm(h, blk["ln2"]), blk["mlp"])
+        h = matmul_residual(
+            attn_out, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"], h,
+            nq=nq, interpret=interpret,
+        )
+        # fused LN2 + MLP + residual (the gelu intermediate never
+        # round-trips HBM; ops/fused.py ln_mlp_residual)
+        h = ln_mlp_residual(
+            h,
+            blk["ln2"]["g"], blk["ln2"]["b"],
+            blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
+            blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
+            nq=nq, mh=2176,
+            interpret=interpret,
+        )
         return h, None
 
     x, _ = jax.lax.scan(step, x, blocks)
