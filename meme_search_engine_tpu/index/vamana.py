@@ -249,11 +249,16 @@ def _batched_greedy_search(
      _) = jax.lax.while_loop(cond, body, state)
     if not collect_pool:
         return buf_scores, buf_ids, steps
-    # one dedupe + rank over the whole visited log (+ the seed candidate)
-    pool_ids, pool_scores = _merge_pool(
-        pool_ids, pool_scores,
-        jnp.full((b, 1), start, jnp.int32), s0[:, None], maxc,
-    )
+    # rank the visited log (+ the seed). Ids are unique by construction —
+    # the seen bitmap admits each node once and the seed is pre-marked —
+    # so a single score sort replaces the dedupe lexsort pair
+    # (the log is (B, 2*l*r) wide; at reference params that is a 25M-
+    # element sort per round, previously done twice)
+    p_ids = jnp.concatenate([pool_ids, jnp.full((b, 1), start, jnp.int32)], 1)
+    p_scores = jnp.concatenate([pool_scores, s0[:, None]], 1)
+    top_scores, top_pos = jax.lax.top_k(p_scores, min(maxc, p_scores.shape[1]))
+    pool_ids = jnp.take_along_axis(p_ids, top_pos, 1)
+    pool_scores = top_scores
     return pool_scores, pool_ids, steps
 
 
@@ -293,7 +298,16 @@ def _batched_robust_prune(
     # self-edges never selected (p_star == p skip, lib.rs:241)
     valid0 = jnp.logical_and(valid0, cand_ids != p_nodes[:, None])
     cand_safe = jnp.where(cand_ids != INVALID, cand_ids, 0)
-    cvecs = vectors[cand_safe].astype(jnp.float32)  # (B, C, D)
+    cvecs = vectors[cand_safe]  # (B, C, D) bf16
+
+    # ALL candidate-pair dots up front as one batched MXU matmul
+    # (C, D) @ (D, C) per row, fp32 accumulation. The selection loop then
+    # only gathers rows of this matrix — the per-step (B,1,D)@(B,D,C)
+    # matvec it replaces ran the MXU at ~1/128 utilisation and dominated
+    # the whole build (measured 1.6 s -> ~0.1 s per 1024-node round).
+    pair = jnp.einsum(
+        "bcd,bed->bce", cvecs, cvecs, preferred_element_type=jnp.float32
+    )  # (B, C, C)
 
     alpha_c = jnp.where(cand_ids >= query_breakpoint, query_alpha, alpha)
 
@@ -303,9 +317,6 @@ def _batched_robust_prune(
         any_alive = jnp.any(alive, axis=1)
         pick = jnp.argmax(alive, axis=1)  # first alive slot
         pick_id = jnp.take_along_axis(cand_ids, pick[:, None], 1)[:, 0]
-        pick_vec = jnp.take_along_axis(
-            cvecs, pick[:, None, None], 1
-        )[:, 0, :]  # (B, D)
 
         do_pick = jnp.logical_and(any_alive, n_selected < r)
         selected_ids = selected_ids.at[:, i].set(
@@ -313,10 +324,10 @@ def _batched_robust_prune(
         )
         n_selected = n_selected + do_pick.astype(jnp.int32)
 
-        # suppress candidates dominated by p*
-        pstar_dots = jnp.einsum(
-            "bd,bcd->bc", pick_vec, cvecs, preferred_element_type=jnp.float32
-        )
+        # suppress candidates dominated by p* (precomputed dot row)
+        pstar_dots = jnp.take_along_axis(
+            pair, pick[:, None, None], 1
+        )[:, 0, :]  # (B, C)
         dominated = alpha_c * pstar_dots >= cand_scores
         alive = jnp.where(
             do_pick[:, None],
@@ -375,6 +386,49 @@ def _batched_robust_prune(
 # ---------------------------------------------------------------------------
 
 
+def _insert_back_edges(graph, degrees, batch, new_neigh, r):
+    """Vectorised back-edge insertion (lib.rs:311-322 semantics).
+
+    For every new edge u -> v, append u to v's adjacency if there is
+    room and the edge isn't already present; returns the (v, u) pairs
+    whose target rows overflowed R and need a re-prune. Insertion order
+    within a round is (v, u)-sorted rather than batch-ordered — the
+    reference's own order is rayon-thread-racy, so no order is
+    semantically privileged.
+    """
+    b, rr = new_neigh.shape
+    tgt = new_neigh.ravel()
+    src = np.repeat(batch.astype(np.int32), rr)
+    ok = tgt >= 0
+    tgt, src = tgt[ok], src[ok]
+    if len(tgt) == 0:
+        return np.empty((0, 2), np.int32)
+    # drop edges already present in the target's row
+    present = (graph[tgt] == src[:, None]).any(axis=1)
+    tgt, src = tgt[~present], src[~present]
+    if len(tgt) == 0:
+        return np.empty((0, 2), np.int32)
+    # sort by (v, u); dedupe exact pairs
+    key = tgt.astype(np.int64) * (graph.shape[0] + 1) + src
+    order = np.argsort(key, kind="stable")
+    key_s, tgt, src = key[order], tgt[order], src[order]
+    first = np.ones(len(key_s), bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    tgt, src = tgt[first], src[first]
+    # position within each target group -> free slot index
+    newgrp = np.ones(len(tgt), bool)
+    newgrp[1:] = tgt[1:] != tgt[:-1]
+    starts = np.flatnonzero(newgrp)
+    gidx = np.cumsum(newgrp) - 1
+    pos = np.arange(len(tgt)) - starts[gidx]
+    slot = degrees[tgt] + pos
+    accept = slot < r
+    graph[tgt[accept], slot[accept]] = src[accept]
+    uniq, cnt = np.unique(tgt[accept], return_counts=True)
+    degrees[uniq] += cnt.astype(np.int32)
+    return np.stack([tgt[~accept], src[~accept]], axis=1).astype(np.int32)
+
+
 def build_graph(
     vectors: np.ndarray,
     config: VamanaConfig = VamanaConfig(),
@@ -393,8 +447,9 @@ def build_graph(
     rng = np.random.default_rng(seed)
     # 2*l hop budget: the beam visits <= l entries unless truncation
     # re-exposes previously visited nodes; the recall harness validates
-    # the bound (and it also caps the visited-log pool size)
-    max_steps = cfg.max_search_steps or 2 * cfg.l
+    # the bound (and it also caps the visited-log pool size). Each hop
+    # visits `expand` beam entries, so the budget divides by expand.
+    max_steps = cfg.max_search_steps or -(-2 * cfg.l // cfg.build_expand)
 
     # bf16 resident copy: the build is dominated by (B, E*R, D) vector
     # gathers; halving their width halves the HBM traffic. All dots
@@ -460,28 +515,16 @@ def build_graph(
         )
         new_neigh = np.asarray(new_neigh)[:b]
 
-        # host: install new adjacency + back-edges (lib.rs:311-322)
-        overflow_nodes = []
-        for j, u in enumerate(batch):
-            row = new_neigh[j]
-            row = row[row >= 0]
-            graph[u, : len(row)] = row
-            graph[u, len(row) :] = -1
-            degrees[u] = len(row)
-        for j, u in enumerate(batch):
-            for v in new_neigh[j]:
-                if v < 0:
-                    continue
-                deg = degrees[v]
-                if deg < cfg.r:
-                    if u not in graph[v, :deg]:
-                        graph[v, deg] = u
-                        degrees[v] = deg + 1
-                else:
-                    overflow_nodes.append((v, u))
+        # host: install new adjacency + back-edges (lib.rs:311-322),
+        # fully vectorised (the per-edge python loop cost ~0.4 s/round)
+        graph[batch] = new_neigh  # prune output is -1-right-padded
+        degrees[batch] = (new_neigh >= 0).astype(np.int32).sum(axis=1)
+        overflow_nodes = _insert_back_edges(
+            graph, degrees, batch, new_neigh, cfg.r
+        )
 
         # re-prune overflowing back-edge targets in one device batch
-        if overflow_nodes:
+        if len(overflow_nodes):
             _reprune_overflow(
                 vec_dev, graph, degrees, overflow_nodes, cfg, bp
             )
@@ -494,16 +537,32 @@ def build_graph(
     return graph
 
 
-def _reprune_overflow(vec_dev, graph, degrees, overflow_nodes, cfg, bp):
+def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp):
     """Batch re-prune nodes whose back-edge insertion overflowed R
-    (lib.rs:313-318: merge neighbours + the new edge, robust_prune)."""
-    # group: node -> set of extra candidates
-    from collections import defaultdict
+    (lib.rs:313-318: merge neighbours + the new edge, robust_prune).
 
-    extras = defaultdict(set)
-    for v, u in overflow_nodes:
-        extras[v].add(u)
-    all_nodes = np.asarray(sorted(extras), np.int32)
+    overflow_pairs: (M, 2) int32 [target v, new source u].
+    """
+    INVALID = 2**31 - 1
+    tgt = overflow_pairs[:, 0]
+    src = overflow_pairs[:, 1]
+    # group extras by target, capped at 64 per node (fixed prune width)
+    key = tgt.astype(np.int64) * (graph.shape[0] + 1) + src
+    order = np.argsort(key, kind="stable")
+    key_s, tgt, src = key[order], tgt[order], src[order]
+    first = np.ones(len(key_s), bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    tgt, src = tgt[first], src[first]
+    newgrp = np.ones(len(tgt), bool)
+    newgrp[1:] = tgt[1:] != tgt[:-1]
+    starts = np.flatnonzero(newgrp)
+    gidx = np.cumsum(newgrp) - 1
+    pos = np.arange(len(tgt)) - starts[gidx]
+    all_nodes = tgt[newgrp]
+    extras = np.full((len(all_nodes), 64), INVALID, np.int64)
+    keep = pos < 64
+    extras[gidx[keep], pos[keep]] = src[keep]
+
     # fixed candidate width + fixed chunk so the jitted prune compiles
     # once per build (not once per round) and the (chunk, C, D) gather
     # stays bounded (a round can overflow thousands of nodes)
@@ -513,15 +572,13 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_nodes, cfg, bp):
     for start in range(0, len(all_nodes), chunk):
         nodes = all_nodes[start : start + chunk]
         b = len(nodes)
-        cand = np.full((chunk, c), 2**31 - 1, np.int64)
-        for i, v in enumerate(nodes):
-            neigh = graph[v][graph[v] >= 0]
-            ex = np.fromiter(extras[v], np.int64)[:64]
-            row = np.concatenate([neigh, ex])[:c]
-            cand[i, : len(row)] = row
+        rows = graph[nodes].astype(np.int64)
+        rows[rows < 0] = INVALID
+        cand = np.full((chunk, c), INVALID, np.int64)
+        cand[:b] = np.concatenate([rows, extras[start : start + b]], axis=1)
         nodes_pad = np.concatenate(
             [nodes, np.zeros(chunk - b, np.int32)]
-        )
+        ).astype(np.int32)
 
         new_rows = np.asarray(
             _score_sort_prune(
@@ -539,13 +596,9 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_nodes, cfg, bp):
                 ),
                 r=cfg.r,
             )
-        )
-        for i, v in enumerate(nodes):
-            row = new_rows[i]
-            row = row[row >= 0]
-            graph[v, : len(row)] = row
-            graph[v, len(row) :] = -1
-            degrees[v] = len(row)
+        )[:b]
+        graph[nodes] = new_rows  # -1-right-padded by the prune
+        degrees[nodes] = (new_rows >= 0).astype(np.int32).sum(axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("r",))

@@ -156,3 +156,96 @@ def test_engine_multichip_dp(mesh8):
     np.testing.assert_allclose(
         multi.embed_texts(texts), single.embed_texts(texts), rtol=2e-2, atol=2e-3
     )
+
+
+def test_sharded_search_perdevice_flops_scale(corpus_1k):
+    """SPMD scaling evidence without multi-chip hardware: the compiled
+    per-device FLOP count of the corpus-sharded search must drop ~1/n as
+    the mesh grows (each chip scans only its corpus slice; only k
+    candidates per shard cross the interconnect). Validates the P7/P8
+    scaling pattern (SURVEY SS2.10) analytically on the CPU mesh."""
+    corpus = np.concatenate([corpus_1k, np.zeros((24, 128), np.float16)])
+    q = np.random.default_rng(0).standard_normal((4, 128)).astype(np.float32)
+
+    argbytes = {}
+    for n in (1, 2, 4, 8):
+        mesh = meshlib.make_mesh(n, model_parallel=1)
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(meshlib.DATA, None)
+        )
+        dev_corpus = jax.device_put(jnp.asarray(corpus), sharding)
+        compiled = (
+            sharded_mips_topk.lower(
+                dev_corpus, jnp.asarray(q), 20, mesh, tile=128
+            ).compile()
+        )
+        # each device holds 1/n of the corpus slice...
+        assert dev_corpus.addressable_shards[0].data.shape[0] == corpus.shape[0] // n
+        argbytes[n] = compiled.memory_analysis().argument_size_in_bytes
+        # ...and the merge is a collective, not replicated work
+        if n > 1:
+            assert "all-gather" in compiled.as_text()
+
+    # per-device inputs (dominated by the corpus slice) scale ~1/n
+    assert argbytes[8] < argbytes[1] / 4, argbytes
+    assert argbytes[2] < argbytes[1] / 1.6, argbytes
+
+
+def test_two_process_distributed_psum(tmp_path):
+    """Multi-host (DCN) smoke test: two OS processes, each owning its own
+    CPU devices, form one JAX distributed system and agree on a global
+    psum — the communication pattern of the multi-pod path (SURVEY
+    SS2.10 P7: dp pods over DCN)."""
+    import subprocess
+    import sys
+
+    prog = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+pid = int(sys.argv[1])
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:29517", num_processes=2, process_id=pid
+)
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+import numpy as np
+assert jax.device_count() == 4 and jax.process_count() == 2
+mesh = Mesh(np.asarray(jax.devices()).reshape(4), ("data",))
+@jax.jit
+def gsum(x):
+    return jax.shard_map(
+        lambda v: jax.lax.psum(v, "data"), mesh=mesh,
+        in_specs=P("data"), out_specs=P(), check_vma=False,
+    )(x)
+local = jnp.arange(4, dtype=jnp.float32)
+sharding = jax.sharding.NamedSharding(mesh, P("data"))
+arr = jax.make_array_from_process_local_data(sharding, np.arange(4, dtype=np.float32)[2*pid:2*pid+2], (4,))
+out = gsum(arr)
+from jax.experimental import multihost_utils
+val = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+assert float(val.ravel()[0]) == 6.0, val
+print("OK", pid)
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", prog, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=120)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, (rc, out, err[-2000:])
+        assert "OK" in out
