@@ -52,7 +52,7 @@ class VamanaConfig:
     max_add_per_stitch_iter: int = 16
     batch_size: int = 1024  # nodes per synchronous build round
     max_search_steps: int = 0  # 0 -> auto
-    build_expand: int = 1  # beam entries popped per hop during build
+    build_expand: int = 2  # beam entries popped per hop during build
 
 
 def medioid(vectors: np.ndarray) -> int:

@@ -168,8 +168,8 @@ class IngestService:
 
         from . import video
 
-        if not video.ffmpeg_available():
-            raise RuntimeError(f"cannot decode {rel} (no ffmpeg fallback)")
+        if not video.video_available():
+            raise RuntimeError(f"cannot decode {rel} (no video backend)")
 
         def extract():
             frames = []

@@ -31,6 +31,7 @@ def main(argv=None):
     ap.add_argument("--maxc", type=int, default=750)
     ap.add_argument("--alpha", type=float, default=65536 / 65536)
     ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--expand", type=int, default=1)
     ap.add_argument("--eval-queries", type=int, default=512)
     args = ap.parse_args(argv)
 
@@ -57,6 +58,7 @@ def main(argv=None):
         maxc=args.maxc,
         alpha=args.alpha,
         batch_size=args.batch_size,
+        build_expand=args.expand,
     )
     with Timer("build") as t_build:
         graph = vamana.build_graph(vecs, cfg, verbose=True)

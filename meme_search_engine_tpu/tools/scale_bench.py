@@ -1,0 +1,279 @@
+"""Production-geometry disk-index scale benchmark (VERDICT r1 item 4).
+
+Runs the full large-scale pipeline (SURVEY SS3.4) at --n up to 1e7 with
+the reference's production geometry — ~42 shards, 2-way spill, R=64
+L=192, OPQ 64x18x256, 4096-B records — then measures serve-path QPS
+vs thread count and eval recall@20 (query_disk_index.rs:225-343
+semantics). Every stage writes its artifact and is skipped when the
+artifact already exists, so the run is resumable (the reference's
+multi-binary pipeline has the same property, files as interface).
+
+Usage:
+  python -m meme_search_engine_tpu.tools.scale_bench \
+      --workdir /data/scale1m --n 1000000 [--clusters 42] [--stage all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+D_EMB = 1152
+
+
+def log(msg):
+    print(f"[scale_bench +{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def _stage_dump(wd, n, seed=0):
+    """Synthetic clustered corpus as a real zstd dump (fp16 wire)."""
+    from ..pipeline.dump import (
+        DumpWriter,
+        OriginalImageMetadata,
+        ProcessedEntry,
+    )
+
+    path = os.path.join(wd, "000000001.dump.zst")
+    if os.path.exists(path):
+        return path
+    t0 = time.time()
+    rng = np.random.default_rng(seed)
+    n_clusters = max(64, n // 500)
+    centers = rng.standard_normal((n_clusters, D_EMB)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    with DumpWriter(path + ".tmp") as w:
+        chunk = 8192
+        for start in range(0, n, chunk):
+            m = min(chunk, n - start)
+            c = rng.integers(0, n_clusters, m)
+            x = centers[c] + 0.35 * rng.standard_normal((m, D_EMB)).astype(
+                np.float32
+            )
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            for j in range(m):
+                i = start + j
+                w.write(
+                    ProcessedEntry(
+                        url=f"https://example.com/{i}",
+                        id=f"id{i}",
+                        title=f"meme {i}",
+                        subreddit="memes",
+                        author="a",
+                        timestamp=1700000000 + i,
+                        embedding=x[j],
+                        metadata=OriginalImageMetadata(
+                            mime_type="image/png",
+                            original_file_size=1000 + i % 1000,
+                            dimension=(640, 480),
+                            final_url=f"https://cdn.example.com/{i}.png",
+                        ),
+                    )
+                )
+            if start % (chunk * 16) == 0:
+                log(f"dump {start + m}/{n}")
+    os.rename(path + ".tmp", path)
+    log(f"dump stage: {time.time() - t0:.0f}s")
+    return path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--clusters", type=int, default=42)
+    ap.add_argument("--r", type=int, default=64)
+    ap.add_argument("--l", type=int, default=192)
+    ap.add_argument("--maxc", type=int, default=750)
+    ap.add_argument("--build-batch", type=int, default=1024)
+    ap.add_argument("--eval-queries", type=int, default=512)
+    ap.add_argument("--serve-queries", type=int, default=256)
+    ap.add_argument("--search-list", type=int, default=500)
+    ap.add_argument("--beamwidth", type=int, default=4)
+    ap.add_argument("--skip-eval", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..index.disk_index import DiskIndex
+    from ..index.kmeans import balanced_kmeans
+    from ..index.opq import train_opq
+    from ..pipeline import processor
+    from ..pipeline.build_shard import build_shard
+    from ..pipeline.descriptors import compute_cdfs
+    from ..pipeline.formats import read_shard_input, read_shard_output
+
+    wd = args.workdir
+    os.makedirs(wd, exist_ok=True)
+    report = {"n": args.n, "clusters": args.clusters, "stages_s": {}}
+    report_path = os.path.join(wd, "report.json")
+
+    dump_path = _stage_dump(wd, args.n)
+
+    # --- kmeans centroids on a sample -------------------------------------
+    cent_path = os.path.join(wd, "centroids.npy")
+    if not os.path.exists(cent_path):
+        t0 = time.time()
+        sample = processor.sample_embeddings(
+            [dump_path], min(1.0, 200_000 / args.n), seed=0
+        )
+        log(f"kmeans over sample {sample.shape}")
+        centroids = balanced_kmeans(
+            sample.astype(np.float32), args.clusters, max_iter=120, seed=0
+        )
+        np.save(cent_path, centroids)
+        report["stages_s"]["kmeans"] = round(time.time() - t0, 1)
+        log(f"kmeans: {report['stages_s']['kmeans']}s")
+    centroids = np.load(cent_path)
+
+    # --- 2-way-spill shard split ------------------------------------------
+    shard_dir = os.path.join(wd, "shards")
+    manifest_path = os.path.join(wd, "manifest.npy")
+    if not os.path.exists(manifest_path):
+        t0 = time.time()
+        count, manifest = processor.split_to_shards(
+            [dump_path], centroids, shard_dir, deduplicate=True
+        )
+        np.save(manifest_path, np.asarray(manifest, object), allow_pickle=True)
+        report["stages_s"]["shard_split"] = round(time.time() - t0, 1)
+        log(
+            f"shard split: {count} records, "
+            f"{report['stages_s']['shard_split']}s"
+        )
+    manifest = list(np.load(manifest_path, allow_pickle=True))
+    n_total = len(manifest)
+
+    # --- OOD query vectors (generate_index_shard.rs:71-94) -----------------
+    rng = np.random.default_rng(7)
+    queries = rng.standard_normal((1024, D_EMB)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    # --- per-shard Vamana builds -------------------------------------------
+    t0 = time.time()
+    shard_outputs = []
+    built = 0
+    for s in range(args.clusters):
+        in_path = os.path.join(shard_dir, f"shard_{s}.msgpack")
+        out_path = os.path.join(shard_dir, f"shard_{s}.graph")
+        if not os.path.exists(in_path):
+            continue
+        if not os.path.exists(out_path):
+            ts = time.time()
+            build_shard(
+                in_path,
+                out_path + ".tmp",
+                query_vectors=queries,
+                r=args.r,
+                l=args.l,
+                maxc=args.maxc,
+                batch_size=args.build_batch,
+                seed=s,
+            )
+            os.rename(out_path + ".tmp", out_path)
+            built += 1
+            log(f"shard {s} built in {time.time() - ts:.0f}s")
+        shard_outputs.append(read_shard_output(out_path))
+    if built:
+        report["stages_s"]["shard_builds"] = round(time.time() - t0, 1)
+        log(f"shard builds: {report['stages_s']['shard_builds']}s")
+
+    # --- OPQ + pack ---------------------------------------------------------
+    out_dir = os.path.join(wd, "index")
+    if not os.path.exists(os.path.join(out_dir, "index.msgpack")):
+        t0 = time.time()
+        log("collecting vectors for OPQ/pack")
+        vectors = np.zeros((n_total, D_EMB), np.float32)
+        for s in range(args.clusters):
+            in_path = os.path.join(shard_dir, f"shard_{s}.msgpack")
+            if not os.path.exists(in_path):
+                continue
+            _h, records = read_shard_input(in_path)
+            for rid, vec in records:
+                vectors[rid] = vec
+        sample_idx = rng.permutation(n_total)[: min(n_total, 100_000)]
+        pq = train_opq(
+            vectors[sample_idx],
+            queries,
+            n_chunks=64,
+            n_centroids=256,
+            outer_iters=2,
+            adam_iters=120,
+        )
+        report["stages_s"]["opq_train"] = round(time.time() - t0, 1)
+        log(f"opq: {report['stages_s']['opq_train']}s")
+
+        t0 = time.time()
+        vertices, node_shards = processor.merge_shard_adjacency(
+            shard_outputs, n_total
+        )
+        scores = rng.standard_normal((n_total, 3)).astype(np.float32)
+        cdfs = compute_cdfs(scores, [m["timestamp"] for m in manifest])
+        processor.pack_index(
+            out_dir,
+            vectors,
+            vertices,
+            node_shards,
+            manifest,
+            pq,
+            centroids,
+            [h.mapping[h.medioid] for h, _ in shard_outputs],
+            scores=scores,
+            descriptor_cdfs=cdfs,
+        )
+        report["stages_s"]["pack"] = round(time.time() - t0, 1)
+        log(f"pack: {report['stages_s']['pack']}s")
+        del vectors
+
+    # --- serve-path measurements --------------------------------------------
+    idx = DiskIndex(out_dir)
+    log(f"index open: {idx.header.count} nodes, shards {len(idx.medioids)}")
+
+    qs = rng.standard_normal((args.serve_queries, D_EMB)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+
+    # warm the page cache & jit
+    for q in qs[:8]:
+        idx.search(q, 20, beamwidth=args.beamwidth,
+                   search_list=args.search_list)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    report["qps_vs_threads"] = {}
+    for threads in (1, 2, 4):
+        t0 = time.time()
+        with ThreadPoolExecutor(threads) as ex:
+            list(
+                ex.map(
+                    lambda q: idx.search(
+                        q, 20, beamwidth=args.beamwidth,
+                        search_list=args.search_list,
+                    ),
+                    qs,
+                )
+            )
+        qps = args.serve_queries / (time.time() - t0)
+        report["qps_vs_threads"][threads] = round(qps, 1)
+        log(f"threads={threads}: {qps:.1f} QPS")
+
+    if not args.skip_eval:
+        t0 = time.time()
+        eval_q = qs[: args.eval_queries]
+        stats = idx.evaluate(
+            eval_q, k=20, beamwidth=args.beamwidth,
+            search_list=args.search_list,
+        )
+        report["eval"] = {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in stats.items()
+        }
+        report["stages_s"]["eval"] = round(time.time() - t0, 1)
+        log(f"eval: {stats}")
+
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

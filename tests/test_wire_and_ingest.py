@@ -192,3 +192,52 @@ def test_ocr_fts_reocr_and_delete(tmp_path):
     db.delete_file(fn)
     db.commit()
     assert db.search_ocr_text("second") == []
+
+
+def test_video_frame_extraction_e2e(tmp_path):
+    """Real video decode through the OpenCV backend: write an mp4 with
+    three visually distinct scenes, extract frames with the reference
+    filtergraph semantics (thumbnail-per-interval + scene>0.05 select,
+    video_reader.rs:28-39), and require one frame per scene."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from meme_search_engine_tpu.ingest import video
+
+    assert video.video_available()
+    path = str(tmp_path / "scenes.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    scenes = [
+        np.full((48, 64, 3), col, np.uint8)
+        + rng.integers(0, 20, (48, 64, 3), dtype=np.uint8)
+        for col in ((200, 30, 30), (30, 200, 30), (30, 30, 200))
+    ]
+    for scene in scenes:
+        for _ in range(12):
+            w.write(scene[..., ::-1])  # RGB -> BGR
+    w.release()
+
+    frames = list(video.extract_frames(path, interval_s=1.0))
+    # one representative frame per scene (first always kept)
+    assert len(frames) == 3, len(frames)
+    for f, scene in zip(frames, scenes):
+        assert f.shape == (48, 64, 3)
+        # dominant channel matches the scene colour
+        assert np.argmax(f.mean(axis=(0, 1))) == np.argmax(
+            scene.mean(axis=(0, 1))
+        )
+    # static video -> only the first frame survives the scene gate
+    path2 = str(tmp_path / "static.mp4")
+    w = cv2.VideoWriter(path2, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for _ in range(30):
+        w.write(scenes[0][..., ::-1])
+    w.release()
+    assert len(list(video.extract_frames(path2, interval_s=1.0))) == 1
+
+    # max_dim downscale path
+    frames = list(
+        video.extract_frames(path, interval_s=1.0, max_dim=32)
+    )
+    assert frames and max(frames[0].shape[:2]) <= 32
