@@ -402,12 +402,18 @@ def _insert_back_edges(graph, degrees, batch, new_neigh, r):
     ok = tgt >= 0
     tgt, src = tgt[ok], src[ok]
     if len(tgt) == 0:
-        return np.empty((0, 2), np.int32)
+        return (
+            np.empty((0, 2), np.int32),
+            (np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0, np.int32)),
+        )
     # drop edges already present in the target's row
     present = (graph[tgt] == src[:, None]).any(axis=1)
     tgt, src = tgt[~present], src[~present]
     if len(tgt) == 0:
-        return np.empty((0, 2), np.int32)
+        return (
+            np.empty((0, 2), np.int32),
+            (np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0, np.int32)),
+        )
     # sort by (v, u); dedupe exact pairs
     key = tgt.astype(np.int64) * (graph.shape[0] + 1) + src
     order = np.argsort(key, kind="stable")
@@ -426,7 +432,13 @@ def _insert_back_edges(graph, degrees, batch, new_neigh, r):
     graph[tgt[accept], slot[accept]] = src[accept]
     uniq, cnt = np.unique(tgt[accept], return_counts=True)
     degrees[uniq] += cnt.astype(np.int32)
-    return np.stack([tgt[~accept], src[~accept]], axis=1).astype(np.int32)
+    overflow = np.stack([tgt[~accept], src[~accept]], axis=1).astype(np.int32)
+    accepted = (
+        tgt[accept].astype(np.int32),
+        slot[accept].astype(np.int32),
+        src[accept].astype(np.int32),
+    )
+    return overflow, accepted
 
 
 def build_graph(
@@ -464,13 +476,28 @@ def build_graph(
     sigmas = rng.permutation(n).astype(np.int32)
     bp = jnp.int32(cfg.query_breakpoint)
 
+    # the graph lives on device for the whole build; each round's row
+    # updates are mirrored with scatters instead of re-uploading the
+    # full (N, R) adjacency (25.6 MB/round at n=1e5 over this tunnel)
+    graph_dev = jnp.asarray(graph)
+
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("MSE_BUILD_PROFILE")
+    _tot = {}
+    def _mark(k, t0):
+        if _prof:
+            jax.block_until_ready(graph_dev)
+            _tot[k] = _tot.get(k, 0.0) + (_time.perf_counter() - t0)
+        return _time.perf_counter()
+
     for round_start in range(0, n, cfg.batch_size):
         batch = sigmas[round_start : round_start + cfg.batch_size]
         b = len(batch)
         pad = cfg.batch_size - b
         batch_p = np.pad(batch, (0, pad), constant_values=0)
 
-        graph_dev = jnp.asarray(graph)
+        _t0 = _time.perf_counter()
         queries = vec_dev[jnp.asarray(batch_p)]
         is_query_node = batch_p >= cfg.query_breakpoint
 
@@ -483,6 +510,9 @@ def build_graph(
             l=cfg.l, maxc=cfg.maxc, max_steps=max_steps,
             expand=cfg.build_expand,
         )
+        if _prof:
+            int(_steps)
+        _t0 = _mark("search", _t0)
 
         # merge existing out-neighbours into the candidate pool
         # (lib.rs:301-304)
@@ -502,7 +532,7 @@ def build_graph(
         saturate = jnp.asarray(
             np.logical_or(cfg.saturate_graph, is_query_node)
         )
-        new_neigh = _batched_robust_prune(
+        new_neigh_dev = _batched_robust_prune(
             vec_dev,
             jnp.asarray(batch_p),
             pool_ids,
@@ -513,35 +543,70 @@ def build_graph(
             saturate,
             r=cfg.r,
         )
-        new_neigh = np.asarray(new_neigh)[:b]
+        new_neigh = np.asarray(new_neigh_dev)[:b]
+        _t0 = _mark("prune+dl", _t0)
 
         # host: install new adjacency + back-edges (lib.rs:311-322),
         # fully vectorised (the per-edge python loop cost ~0.4 s/round)
         graph[batch] = new_neigh  # prune output is -1-right-padded
         degrees[batch] = (new_neigh >= 0).astype(np.int32).sum(axis=1)
-        overflow_nodes = _insert_back_edges(
+        overflow_nodes, accepted = _insert_back_edges(
             graph, degrees, batch, new_neigh, cfg.r
         )
+        _t0 = _mark("host_backedges", _t0)
+
+        # mirror on device: batch rows (already device-resident) + the
+        # accepted back-edge scatter, padded to a fixed width so the
+        # update compiles once (out-of-range rows drop)
+        rows = np.full(cfg.batch_size, n, np.int32)
+        rows[:b] = batch
+        cap = cfg.batch_size * cfg.r
+        tgt_p = np.full(cap, n, np.int32)
+        slot_p = np.zeros(cap, np.int32)
+        src_p = np.zeros(cap, np.int32)
+        acc_t, acc_s, acc_u = accepted
+        m = min(len(acc_t), cap)
+        tgt_p[:m], slot_p[:m], src_p[:m] = acc_t[:m], acc_s[:m], acc_u[:m]
+        graph_dev = _apply_graph_updates(
+            graph_dev, jnp.asarray(rows), new_neigh_dev,
+            jnp.asarray(tgt_p), jnp.asarray(slot_p), jnp.asarray(src_p),
+        )
+        _t0 = _mark("dev_scatter", _t0)
 
         # re-prune overflowing back-edge targets in one device batch
         if len(overflow_nodes):
-            _reprune_overflow(
-                vec_dev, graph, degrees, overflow_nodes, cfg, bp
+            graph_dev = _reprune_overflow(
+                vec_dev, graph, degrees, overflow_nodes, cfg, bp, graph_dev
             )
+        _t0 = _mark("overflow", _t0)
         if verbose and (round_start // cfg.batch_size) % 20 == 0:
             print(
                 f"vamana round {round_start // cfg.batch_size}: "
                 f"{round_start + b}/{n} nodes"
             )
 
+    if _prof:
+        print("build profile:", {k: round(v, 1) for k, v in _tot.items()})
+    # device-mirror invariant (cheap at test scale; skipped for huge
+    # builds where the download would cost more than it protects — the
+    # host graph is the source of truth either way)
+    if n <= 100_000:
+        mirror = np.asarray(graph_dev)
+        if not np.array_equal(mirror, graph):
+            raise AssertionError(
+                "device graph mirror diverged from host graph"
+            )
     return graph
 
 
-def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp):
+def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp,
+                      graph_dev=None):
     """Batch re-prune nodes whose back-edge insertion overflowed R
     (lib.rs:313-318: merge neighbours + the new edge, robust_prune).
 
-    overflow_pairs: (M, 2) int32 [target v, new source u].
+    overflow_pairs: (M, 2) int32 [target v, new source u]. When
+    ``graph_dev`` is given, the repruned rows are mirrored onto it and
+    the updated device array is returned.
     """
     INVALID = 2**31 - 1
     tgt = overflow_pairs[:, 0]
@@ -580,25 +645,40 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp):
             [nodes, np.zeros(chunk - b, np.int32)]
         ).astype(np.int32)
 
-        new_rows = np.asarray(
-            _score_sort_prune(
-                vec_dev,
-                jnp.asarray(nodes_pad),
-                jnp.asarray(cand, jnp.int32),
-                jnp.float32(cfg.alpha),
-                jnp.float32(cfg.query_alpha),
-                bp,
-                jnp.asarray(
-                    np.logical_or(
-                        cfg.saturate_graph,
-                        nodes_pad >= cfg.query_breakpoint,
-                    )
-                ),
-                r=cfg.r,
+        new_rows_dev = _score_sort_prune(
+            vec_dev,
+            jnp.asarray(nodes_pad),
+            jnp.asarray(cand, jnp.int32),
+            jnp.float32(cfg.alpha),
+            jnp.float32(cfg.query_alpha),
+            bp,
+            jnp.asarray(
+                np.logical_or(
+                    cfg.saturate_graph,
+                    nodes_pad >= cfg.query_breakpoint,
+                )
+            ),
+            r=cfg.r,
+        )
+        if graph_dev is not None:
+            rows = np.full(chunk, graph.shape[0], np.int32)  # pads drop
+            rows[:b] = nodes
+            graph_dev = graph_dev.at[jnp.asarray(rows)].set(
+                new_rows_dev, mode="drop"
             )
-        )[:b]
+        new_rows = np.asarray(new_rows_dev)[:b]
         graph[nodes] = new_rows  # -1-right-padded by the prune
         degrees[nodes] = (new_rows >= 0).astype(np.int32).sum(axis=1)
+    return graph_dev
+
+
+@jax.jit
+def _apply_graph_updates(graph_dev, rows, row_vals, tgt, slot, src):
+    """Mirror a round's host graph updates onto the device copy: replace
+    the batch's rows, then scatter accepted back-edges. Out-of-range
+    indices (fixed-width padding) drop."""
+    graph_dev = graph_dev.at[rows].set(row_vals, mode="drop")
+    return graph_dev.at[tgt, slot].set(src, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("r",))

@@ -31,7 +31,7 @@ def main(argv=None):
     ap.add_argument("--maxc", type=int, default=750)
     ap.add_argument("--alpha", type=float, default=65536 / 65536)
     ap.add_argument("--batch-size", type=int, default=512)
-    ap.add_argument("--expand", type=int, default=1)
+    ap.add_argument("--expand", type=int, default=2)
     ap.add_argument("--eval-queries", type=int, default=512)
     args = ap.parse_args(argv)
 
