@@ -223,13 +223,29 @@ def main(argv=None):
         )
         report["stages_s"]["pack"] = round(time.time() - t0, 1)
         log(f"pack: {report['stages_s']['pack']}s")
+        # flat fp16 copy for the eval oracle (reading 4096-B records for
+        # the whole corpus costs hours at 1e6; the TPU MIPS scan doesn't)
+        vectors.astype(np.float16).tofile(os.path.join(wd, "vectors.f16"))
         del vectors
 
     # --- serve-path measurements --------------------------------------------
     idx = DiskIndex(out_dir)
-    log(f"index open: {idx.header.count} nodes, shards {len(idx.medioids)}")
+    log(f"index open: {idx.header.count} nodes, "
+        f"shards {len(idx.shard_centroids)}")
 
-    qs = rng.standard_normal((args.serve_queries, D_EMB)).astype(np.float32)
+    # query workload shaped like the corpus (held-out points near the
+    # same cluster centres — the realistic case; uniform random queries
+    # are orthogonal-ish to every cluster at D=1152 and mostly measure
+    # the coverage cap of argmax-shard selection)
+    qrng = np.random.default_rng(1234)
+    n_clusters = max(64, args.n // 500)
+    crng = np.random.default_rng(0)
+    centers = crng.standard_normal((n_clusters, D_EMB)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    qc = qrng.integers(0, n_clusters, args.serve_queries)
+    qs = centers[qc] + 0.35 * qrng.standard_normal(
+        (args.serve_queries, D_EMB)
+    ).astype(np.float32)
     qs /= np.linalg.norm(qs, axis=1, keepdims=True)
 
     # warm the page cache & jit
@@ -256,19 +272,47 @@ def main(argv=None):
         report["qps_vs_threads"][threads] = round(qps, 1)
         log(f"threads={threads}: {qps:.1f} QPS")
 
-    if not args.skip_eval:
+    flat_path = os.path.join(wd, "vectors.f16")
+    if not args.skip_eval and os.path.exists(flat_path):
+        # recall@20 + rank stats vs the TPU brute-force oracle over the
+        # flat fp16 corpus (query_disk_index.rs:225-343 eval semantics)
+        import jax.numpy as jnp
+
+        from ..ops.mips import mips_topk
+
         t0 = time.time()
         eval_q = qs[: args.eval_queries]
-        stats = idx.evaluate(
-            eval_q, k=20, beamwidth=args.beamwidth,
-            search_list=args.search_list,
-        )
+        corpus = np.fromfile(flat_path, np.float16).reshape(n_total, D_EMB)
+        gt_i = []
+        for start in range(0, len(eval_q), 64):
+            _s, i = mips_topk(
+                jnp.asarray(corpus), jnp.asarray(eval_q[start : start + 64]),
+                1000, tile=min(n_total, 262_144),
+            )
+            gt_i.append(np.asarray(i))
+        gt_i = np.concatenate(gt_i)
+        hits, ranks = 0, []
+        for qi, q in enumerate(eval_q):
+            results, _c = idx.search(
+                q, 20, beamwidth=args.beamwidth,
+                search_list=args.search_list,
+            )
+            found = {r.id for r in results}
+            hits += len(found & set(gt_i[qi, :20].tolist()))
+            top = results[0].id if results else -1
+            pos = np.nonzero(gt_i[qi] == top)[0]
+            ranks.append(int(pos[0]) + 1 if len(pos) else 1001)
+        ranks = np.asarray(ranks, np.float64)
         report["eval"] = {
-            k: (round(v, 4) if isinstance(v, float) else v)
-            for k, v in stats.items()
+            "recall_at_20": round(hits / (len(eval_q) * 20), 4),
+            "mean_rank": round(float(ranks.mean()), 2),
+            "median_rank": float(np.median(ranks)),
+            "harmonic_mean_rank": round(
+                float(len(ranks) / (1.0 / ranks).sum()), 3
+            ),
         }
         report["stages_s"]["eval"] = round(time.time() - t0, 1)
-        log(f"eval: {stats}")
+        log(f"eval: {report['eval']}")
 
     with open(report_path, "w") as f:
         json.dump(report, f, indent=1)
