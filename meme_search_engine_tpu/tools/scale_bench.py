@@ -94,6 +94,9 @@ def main(argv=None):
     ap.add_argument("--search-list", type=int, default=500)
     ap.add_argument("--beamwidth", type=int, default=4)
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--pq-chunks", type=int, default=64)
+    ap.add_argument("--pq-centroids", type=int, default=256)
+    ap.add_argument("--ood-queries", type=int, default=1024)
     args = ap.parse_args(argv)
 
     from ..index.disk_index import DiskIndex
@@ -146,7 +149,7 @@ def main(argv=None):
 
     # --- OOD query vectors (generate_index_shard.rs:71-94) -----------------
     rng = np.random.default_rng(7)
-    queries = rng.standard_normal((1024, D_EMB)).astype(np.float32)
+    queries = rng.standard_normal((args.ood_queries, D_EMB)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
     # --- per-shard Vamana builds -------------------------------------------
@@ -195,8 +198,8 @@ def main(argv=None):
         pq = train_opq(
             vectors[sample_idx],
             queries,
-            n_chunks=64,
-            n_centroids=256,
+            n_chunks=args.pq_chunks,
+            n_centroids=args.pq_centroids,
             outer_iters=2,
             adam_iters=120,
         )

@@ -369,3 +369,40 @@ def test_search_all_shards_dedups_merged(built_index):
     sim = embs @ embs.T
     np.fill_diagonal(sim, 0)
     assert sim.max() <= 0.95 + 1e-6
+
+
+def test_scale_bench_tool_end_to_end(tmp_path, monkeypatch):
+    """The production-geometry scale benchmark tool runs its whole
+    staged pipeline (dump -> kmeans -> spill-2 shards -> builds -> OPQ ->
+    pack -> serve QPS -> oracle eval) at miniature scale and emits a
+    coherent report (VERDICT r1 item 4 tooling)."""
+    import json
+
+    from meme_search_engine_tpu.tools import scale_bench
+
+    # miniature geometry: keep the tool's own d_emb (wire format), tiny
+    # graph params
+    wd = str(tmp_path / "scale")
+    scale_bench.main([
+        "--workdir", wd, "--n", "400", "--clusters", "3",
+        "--r", "8", "--l", "16", "--maxc", "32", "--build-batch", "128",
+        "--serve-queries", "8", "--eval-queries", "8",
+        "--search-list", "64", "--beamwidth", "2",
+        "--pq-chunks", "8", "--pq-centroids", "16", "--ood-queries", "16",
+    ])
+    report = json.load(open(f"{wd}/report.json"))
+    assert report["n"] == 400
+    assert set(report["qps_vs_threads"]) == {"1", "2", "4"} or set(
+        report["qps_vs_threads"]
+    ) == {1, 2, 4}
+    assert report["eval"]["recall_at_20"] > 0.3
+    assert report["eval"]["median_rank"] <= 20
+    # resumability: a second invocation reuses every artifact
+    scale_bench.main([
+        "--workdir", wd, "--n", "400", "--clusters", "3",
+        "--r", "8", "--l", "16", "--maxc", "32", "--build-batch", "128",
+        "--serve-queries", "8", "--eval-queries", "8",
+        "--search-list", "64", "--beamwidth", "2",
+        "--pq-chunks", "8", "--pq-centroids", "16", "--ood-queries", "16",
+    ])
+    assert "shard_builds" not in json.load(open(f"{wd}/report.json"))["stages_s"]
