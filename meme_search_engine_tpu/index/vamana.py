@@ -719,34 +719,31 @@ def robust_stitch(
     graph = graph.copy()
     vec_dev = jnp.asarray(vectors, jnp.float32)
 
-    # collect and delete base->query edges
-    in_edges = [[] for _ in range(n - bp)]
-    for base in range(bp):
-        row = graph[base]
-        keep = []
-        for v in row:
-            if v < 0:
-                continue
-            if v >= bp:
-                in_edges[v - bp].append(base)
-            else:
-                keep.append(v)
-        graph[base, : len(keep)] = keep
-        graph[base, len(keep) :] = -1
+    # collect and delete base->query edges (vectorised: the per-row
+    # python compaction cost seconds per shard at 48k nodes)
+    base_rows = graph[:bp]
+    is_query_edge = base_rows >= bp
+    b_idx, slot_idx = np.nonzero(is_query_edge)
+    edge_q = base_rows[b_idx, slot_idx]
+    # compact each base row to its kept (base-id) edges, -1 right-padded
+    keep = np.logical_and(base_rows >= 0, ~is_query_edge)
+    order = np.argsort(~keep, axis=1, kind="stable")
+    graph[:bp] = np.where(
+        np.take_along_axis(keep, order, 1),
+        np.take_along_axis(base_rows, order, 1),
+        -1,
+    )
 
     degrees = (graph >= 0).sum(axis=1)
 
-    # batched scoring: for every (in_neighbour, query) pair, dot the
-    # in-neighbour against the query's out-neighbours
-    pairs = [
-        (in_n, q)
-        for q in range(bp, n)
-        for in_n in in_edges[q - bp]
-    ]
-    if not pairs:
+    if len(b_idx) == 0:
         return graph
-    in_ns = np.asarray([p[0] for p in pairs], np.int32)
-    qs = np.asarray([p[1] for p in pairs], np.int32)
+    # (in_neighbour, query) pairs ordered by query id then base id —
+    # the reference iterates queries and their in-edge lists in order
+    porder = np.lexsort((b_idx, edge_q))
+    in_ns = b_idx[porder].astype(np.int32)
+    qs = edge_q[porder].astype(np.int32)
+    pairs = in_ns  # count proxy
     qneigh = graph[qs]  # (P, R) query out-neighbours
     valid = qneigh >= 0
     qsafe = np.where(valid, qneigh, 0)
