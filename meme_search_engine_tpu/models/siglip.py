@@ -491,7 +491,22 @@ def encode_text(
     p = params["txt"]
     x = jnp.take(p["token_emb"], tokens, axis=0)
     x = x + p["pos_emb"][None].astype(x.dtype)
-    x = _encoder(x, p["blocks"], cfg.text_num_heads)
+    sp = cfg.text_len
+    th = cfg.text_num_heads
+    fat_capable = fat_layout_ok(th, cfg.text_width // th, sp)
+    use_fat = fat_capable and (
+        cfg.attn_impl == "fat_interpret"
+        or (cfg.attn_impl == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_fat:
+        # text_len=64 is already row-aligned: same fat-layout encoder as
+        # the image tower, no padding, full-sequence keys valid
+        x = _encoder_fat(
+            x, p["blocks"], th, n_valid=sp,
+            interpret=cfg.attn_impl == "fat_interpret",
+        )
+    else:
+        x = _encoder(x, p["blocks"], th)
     x = _layer_norm(x, p["ln_final"])
     x = x[:, -1]
     emb = _dense(x, p["head"]).astype(jnp.float32)

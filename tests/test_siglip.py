@@ -107,3 +107,25 @@ def test_fat_attention_path_matches_xla():
     np.testing.assert_allclose(e_fat, e_xla, atol=5e-2)
     cos = (e_fat * e_xla).sum(-1)
     assert cos.min() > 0.999, cos
+
+
+def test_fat_text_tower_matches_xla():
+    """The fat-layout encoder path for the text tower (seq 64 is already
+    row-aligned, no masking) matches the XLA encoder numerically."""
+    import dataclasses
+
+    cfg_fat = siglip.tiny_fat_test_config("fat_interpret")
+    # make the TEXT tower fat-capable too (16 heads x fat_width(7)=8)
+    cfg_fat = dataclasses.replace(
+        cfg_fat, text_width=112, text_num_heads=16, text_len=16
+    )
+    cfg_xla = dataclasses.replace(cfg_fat, attn_impl="xla")
+    params = siglip.init_params(jax.random.PRNGKey(4), cfg_fat)
+    toks = np.random.default_rng(5).integers(
+        0, cfg_fat.vocab_size, (3, cfg_fat.text_len)
+    ).astype(np.int32)
+    e_fat = np.asarray(siglip.encode_text(params, jnp.asarray(toks), cfg_fat))
+    e_xla = np.asarray(siglip.encode_text(params, jnp.asarray(toks), cfg_xla))
+    np.testing.assert_allclose(e_fat, e_xla, atol=5e-2)
+    cos = (e_fat * e_xla).sum(-1)
+    assert cos.min() > 0.999, cos
