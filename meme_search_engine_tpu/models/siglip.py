@@ -37,6 +37,7 @@ from ..ops.attention import (
     fat_layout_ok,
     fat_vit_mha,
     fat_vit_mha_packed,
+    fat_vit_mha_packed_proj,
     fat_width,
     mha,
 )
@@ -374,12 +375,11 @@ def _encoder_fat(
             interpret=interpret,
             k_mask=(n_valid, num_heads, c, dh),
         )
-        attn_out = fat_vit_mha_packed(
-            qkvf, num_heads, dh, interpret=interpret
-        )
-        h = matmul_residual(
-            attn_out, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"], h,
-            nq=nq, interpret=interpret,
+        # attention + o-projection + residual in one kernel (the o-proj
+        # MXU work overlaps the softmax VPU passes; ops/attention.py)
+        h = fat_vit_mha_packed_proj(
+            qkvf, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"], h,
+            num_heads, dh, nq=nq, interpret=interpret,
         )
         # fused LN2 + MLP + residual (the gelu intermediate never
         # round-trips HBM; ops/fused.py ln_mlp_residual)

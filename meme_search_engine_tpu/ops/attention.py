@@ -367,3 +367,92 @@ def fat_vit_mha_packed(
         ),
         interpret=interpret,
     )(qkvf, qkvf, qkvf)
+
+
+def _fat_vit_proj_kernel(
+    q_ref, k_ref, v_ref, wo_ref, bo_ref, res_ref, o_ref, attn_ref,
+    *, h, c, d
+):
+    """Fat attention + output projection + residual in one kernel.
+
+    Per-head attention accumulates into a VMEM scratch; the epilogue is
+    one (SQ, H*D) @ (H*D, H*D) MXU matmul with the residual folded in —
+    the separate o-projection HBM pass disappears, and its MXU work
+    overlaps the per-head VPU softmax passes.
+    """
+    from jax.experimental import pallas as pl
+
+    qb = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    for hh in range(h):
+        qh = qb[:, hh * c : (hh + 1) * c]
+        kh = kb[:, hh * c : (hh + 1) * c]
+        vh = vb[:, hh * c : (hh + 1) * c]
+        sc = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(sc, axis=1, keepdims=True)
+        p = jnp.exp(sc - m).astype(jnp.bfloat16)
+        o = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+        l = o[:, d : d + 1]
+        attn_ref[:, hh * d : (hh + 1) * d] = (
+            o[:, :d] * pl.reciprocal(l, approx=False)
+        ).astype(attn_ref.dtype)
+    y = jnp.dot(attn_ref[...], wo_ref[...], preferred_element_type=jnp.float32)
+    o_ref[0] = (
+        y + bo_ref[0] + res_ref[0].astype(jnp.float32)
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "head_dim", "nq", "interpret")
+)
+def fat_vit_mha_packed_proj(
+    qkvf: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    res: jax.Array,
+    n_heads: int,
+    head_dim: int,
+    *,
+    nq: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """res + fat_attention(qkvf) @ wo + bo, fused.
+
+    qkvf: packed (B, SP, 3*H*C); wo: (H*head_dim, DM); bo: (DM,);
+    res: (B, SP, DM). Returns (B, SP, DM) in res.dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, sp, hc3 = qkvf.shape
+    c = fat_width(head_dim)
+    hc = n_heads * c
+    hd = n_heads * head_dim
+    dm = wo.shape[1]
+    assert hc3 == 3 * hc, (hc3, n_heads, c)
+    assert wo.shape[0] == hd, (wo.shape, hd)
+    assert sp % nq == 0 and (sp // nq) % 8 == 0, (sp, nq)
+    sq = sp // nq
+    return pl.pallas_call(
+        functools.partial(_fat_vit_proj_kernel, h=n_heads, c=c, d=head_dim),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, sq, hc), lambda bb, qq: (bb, qq, 0)),
+            pl.BlockSpec((1, sp, hc), lambda bb, qq: (bb, 0, 1)),
+            pl.BlockSpec((1, sp, hc), lambda bb, qq: (bb, 0, 2)),
+            pl.BlockSpec((hd, dm), lambda bb, qq: (0, 0)),  # resident
+            pl.BlockSpec((1, dm), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, sq, dm), lambda bb, qq: (bb, qq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, sq, dm), lambda bb, qq: (bb, qq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sp, dm), res.dtype),
+        scratch_shapes=[pltpu.VMEM((sq, hd), qkvf.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(qkvf, qkvf, qkvf, wo, bo.astype(jnp.float32)[None], res)
