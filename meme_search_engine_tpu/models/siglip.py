@@ -35,13 +35,11 @@ import numpy as np
 
 from ..ops.attention import (
     fat_layout_ok,
-    fat_vit_mha,
-    fat_vit_mha_packed,
     fat_vit_mha_packed_proj,
     fat_width,
     mha,
 )
-from ..ops.fused import ln_matmul, ln_mlp_residual, matmul_residual
+from ..ops.fused import ln_matmul, ln_mlp_residual
 
 Params = Dict[str, Any]
 

@@ -50,7 +50,6 @@ def main(argv=None):
 
     from ..index.flat import FlatIndex, IndexHandle
     from ..ingest.filename import Actual
-    from .. import serving
     from ..serving.query_server import make_app
 
     rng = np.random.default_rng(0)
