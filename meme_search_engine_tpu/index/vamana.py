@@ -53,6 +53,21 @@ class VamanaConfig:
     batch_size: int = 1024  # nodes per synchronous build round
     max_search_steps: int = 0  # 0 -> auto
     build_expand: int = 2  # beam entries popped per hop during build
+    # device-resident corpus dtype for build-time distance evals:
+    # "bf16" (default) or "int8" (symmetric global-scale quantisation —
+    # halves the frontier-gather HBM traffic, the build's bottleneck;
+    # every score comparison is scale-invariant so no rescale is needed,
+    # exactly like the reference's PQ-approximated frontier in serving)
+    corpus_dtype: str = "bf16"
+
+
+def _corpus_on_device(vectors: np.ndarray, dtype: str) -> jnp.ndarray:
+    if dtype == "int8":
+        scale = 127.0 / max(1e-9, float(np.abs(vectors).max()))
+        q = np.clip(np.rint(vectors * scale), -127, 127).astype(np.int8)
+        return jnp.asarray(q)
+    assert dtype == "bf16", dtype
+    return jnp.asarray(vectors, jnp.bfloat16)
 
 
 def medioid(vectors: np.ndarray) -> int:
@@ -463,10 +478,10 @@ def build_graph(
     # visits `expand` beam entries, so the budget divides by expand.
     max_steps = cfg.max_search_steps or -(-2 * cfg.l // cfg.build_expand)
 
-    # bf16 resident copy: the build is dominated by (B, E*R, D) vector
-    # gathers; halving their width halves the HBM traffic. All dots
-    # upcast to f32 at the MXU (preferred_element_type).
-    vec_dev = jnp.asarray(vectors, jnp.bfloat16)
+    # reduced-width resident copy: the build is dominated by (B, E*R, D)
+    # vector gathers; every halving of element width halves the HBM
+    # traffic. All dots upcast to f32 at the MXU (preferred_element_type).
+    vec_dev = _corpus_on_device(vectors, cfg.corpus_dtype)
     if graph is None:
         graph = random_fill(n, cfg.r, seed)
     graph = np.asarray(graph, np.int32)

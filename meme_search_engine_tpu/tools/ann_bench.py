@@ -32,6 +32,7 @@ def main(argv=None):
     ap.add_argument("--alpha", type=float, default=65536 / 65536)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--expand", type=int, default=2)
+    ap.add_argument("--corpus-dtype", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--eval-queries", type=int, default=512)
     args = ap.parse_args(argv)
 
@@ -59,6 +60,7 @@ def main(argv=None):
         alpha=args.alpha,
         batch_size=args.batch_size,
         build_expand=args.expand,
+        corpus_dtype=args.corpus_dtype,
     )
     with Timer("build") as t_build:
         graph = vamana.build_graph(vecs, cfg, verbose=True)

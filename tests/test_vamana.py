@@ -141,3 +141,38 @@ def test_mixed_batch_base_nodes_link_query_nodes():
     # their own rows may contain them only through random init remnants
     _s, ids, _ = search(x, graph, x[:16], 5, cfg)
     assert ids.max() < n_base
+
+
+def test_int8_corpus_build_recall_parity():
+    """corpus_dtype='int8' (half the frontier-gather bytes) must match
+    the bf16 build's recall within noise: L2-normalised embeddings fill
+    ~3.5 bits of headroom, so a 1152-dim dot averages the quantisation
+    noise below bf16's own rounding."""
+    from meme_search_engine_tpu.index import vamana
+    from meme_search_engine_tpu.ops.mips import mips_topk
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n, d = 2000, 128
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    qs = vecs[rng.permutation(n)[:64]]
+
+    _s, oracle = mips_topk(jnp.asarray(vecs), jnp.asarray(qs), 10, tile=512)
+    oracle = np.asarray(oracle)
+
+    recalls = {}
+    for dtype in ("bf16", "int8"):
+        cfg = vamana.VamanaConfig(
+            r=16, l=48, maxc=96, batch_size=256, corpus_dtype=dtype
+        )
+        graph = vamana.build_graph(vecs, cfg, seed=0)
+        _sc, ids, _ = vamana.search(vecs, graph, qs, 10, cfg)
+        hits = sum(
+            len(set(ids[i].tolist()) & set(oracle[i].tolist()))
+            for i in range(len(qs))
+        )
+        recalls[dtype] = hits / (len(qs) * 10)
+    assert recalls["int8"] > recalls["bf16"] - 0.05, recalls
+    assert recalls["int8"] > 0.8, recalls
