@@ -37,6 +37,8 @@ def build_shard(
     query_alpha: float = 0.9,
     n_build_passes: int = 1,
     batch_size: int = 512,
+    build_expand: int = 2,
+    corpus_dtype: str = "bf16",
     seed: int = 0,
     verbose: bool = False,
 ) -> ShardHeader:
@@ -60,6 +62,8 @@ def build_shard(
         query_alpha=query_alpha,
         query_breakpoint=n_base,
         batch_size=batch_size,
+        build_expand=build_expand,
+        corpus_dtype=corpus_dtype,
     )
     graph = vamana.random_fill(len(vectors), r, seed)
     for p in range(n_build_passes):

@@ -63,6 +63,9 @@ def main(argv=None):
     p.add_argument("--l", type=int, default=192)
     p.add_argument("--maxc", type=int, default=750)
     p.add_argument("--passes", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--expand", type=int, default=2)
+    p.add_argument("--corpus-dtype", default="bf16", choices=["bf16", "int8"])
 
     p = sub.add_parser("pack")
     p.add_argument("--shard-dir", required=True)
@@ -149,6 +152,9 @@ def main(argv=None):
                 l=args.l,
                 maxc=args.maxc,
                 n_build_passes=args.passes,
+                batch_size=args.batch_size,
+                build_expand=args.expand,
+                corpus_dtype=args.corpus_dtype,
                 verbose=True,
             )
             print(f"shard {header.id}: {header.max} nodes -> {out_path}")
