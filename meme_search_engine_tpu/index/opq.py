@@ -219,8 +219,11 @@ def train_opq(
         n_batches, batch_size if n >= batch_size else n, d
     )
 
+    # NB: the corpus/query arrays must be jit ARGUMENTS — a closed-over
+    # device array is baked into the program as a constant, and at 100k
+    # samples the 460 MB constant blows the remote-compile request limit
     @jax.jit
-    def adam_epoch(centroids, opt_state, projection, qkey):
+    def adam_epoch(centroids, opt_state, projection, qkey, x_batched, q_dev):
         qidx = jax.random.randint(
             qkey, (query_batch_size,), 0, q_dev.shape[0]
         )
@@ -247,7 +250,7 @@ def train_opq(
         return centroids, opt_state, loss
 
     @jax.jit
-    def procrustes(centroids, projection):
+    def procrustes(centroids, projection, x_dev):
         # R = V U^T from SVD(X^T Y), Y = per-chunk reconstruction of X
         # (aopq_train.py:79-85)
         y = _pq_assign_reconstruct(
@@ -266,11 +269,11 @@ def train_opq(
         for _it in range(adam_iters):
             key, qkey = jax.random.split(key)
             centroids, opt_state, loss = adam_epoch(
-                centroids, opt_state, projection, qkey
+                centroids, opt_state, projection, qkey, x_batched, q_dev
             )
         if verbose:
             print(f"opq outer {outer}: loss {float(loss):.5f}")
-        projection = procrustes(centroids, projection)
+        projection = procrustes(centroids, projection, x_dev)
 
     projection = np.asarray(projection)
     return ProductQuantizer(
