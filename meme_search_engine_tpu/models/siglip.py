@@ -35,11 +35,11 @@ import numpy as np
 
 from ..ops.attention import (
     fat_layout_ok,
-    fat_vit_mha_packed_proj,
+    fat_vit_mha_packed,
     fat_width,
     mha,
 )
-from ..ops.fused import ln_matmul, ln_mlp_residual
+from ..ops.fused import ln_matmul, ln_mlp_residual, matmul_residual
 
 Params = Dict[str, Any]
 
@@ -373,11 +373,17 @@ def _encoder_fat(
             interpret=interpret,
             k_mask=(n_valid, num_heads, c, dh),
         )
-        # attention + o-projection + residual in one kernel (the o-proj
-        # MXU work overlaps the softmax VPU passes; ops/attention.py)
-        h = fat_vit_mha_packed_proj(
-            qkvf, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"], h,
-            num_heads, dh, nq=nq, interpret=interpret,
+        attn_out = fat_vit_mha_packed(
+            qkvf, num_heads, dh, interpret=interpret
+        )
+        # separate o-proj+residual kernel measures FASTER than folding
+        # the projection into the attention kernel's epilogue (218 vs
+        # 203 img/s e2e — the fold's VMEM pressure costs more overlap
+        # than the saved HBM pass buys; fat_vit_mha_packed_proj kept in
+        # ops/attention.py with parity tests for reference)
+        h = matmul_residual(
+            attn_out, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"], h,
+            nq=nq, interpret=interpret,
         )
         # fused LN2 + MLP + residual (the gelu intermediate never
         # round-trips HBM; ops/fused.py ln_mlp_residual)

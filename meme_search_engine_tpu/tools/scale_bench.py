@@ -29,8 +29,36 @@ def log(msg):
     print(f"[scale_bench +{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+N_SUPER = 64  # coarse semantic structure (real embedding corpora are
+# hierarchical; independent fine clusters at D=1152 are near-orthogonal,
+# which makes ANY coarse sharding meaningless — not a property of real
+# data, as the reference's 42-shard design presumes)
+SUPER_FINE_SCALE = 0.55  # fine-centre dispersion around its super
+NOISE_SCALE = 0.45  # point dispersion around its fine centre
+
+
+def _hier_centers(n):
+    """(super_raw, fine_raw) for the hierarchical synthetic corpus."""
+    crng = np.random.default_rng(0)
+    supers = crng.standard_normal((N_SUPER, D_EMB)).astype(np.float32)
+    n_fine = max(N_SUPER, n // 500)
+    fines = supers[np.arange(n_fine) % N_SUPER] + (
+        SUPER_FINE_SCALE
+        * crng.standard_normal((n_fine, D_EMB)).astype(np.float32)
+    )
+    return supers, fines
+
+
+def _hier_points(fines, c, rng):
+    x = fines[c] + NOISE_SCALE * rng.standard_normal(
+        (len(c), D_EMB)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
 def _stage_dump(wd, n, seed=0):
-    """Synthetic clustered corpus as a real zstd dump (fp16 wire)."""
+    """Synthetic hierarchical corpus as a real zstd dump (fp16 wire)."""
     from ..pipeline.dump import (
         DumpWriter,
         OriginalImageMetadata,
@@ -42,18 +70,14 @@ def _stage_dump(wd, n, seed=0):
         return path
     t0 = time.time()
     rng = np.random.default_rng(seed)
-    n_clusters = max(64, n // 500)
-    centers = rng.standard_normal((n_clusters, D_EMB)).astype(np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    _supers, fines = _hier_centers(n)
+    n_clusters = len(fines)
     with DumpWriter(path + ".tmp") as w:
         chunk = 8192
         for start in range(0, n, chunk):
             m = min(chunk, n - start)
             c = rng.integers(0, n_clusters, m)
-            x = centers[c] + 0.35 * rng.standard_normal((m, D_EMB)).astype(
-                np.float32
-            )
-            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            x = _hier_points(fines, c, rng)
             for j in range(m):
                 i = start + j
                 w.write(
@@ -237,19 +261,11 @@ def main(argv=None):
         f"shards {len(idx.shard_centroids)}")
 
     # query workload shaped like the corpus (held-out points near the
-    # same cluster centres — the realistic case; uniform random queries
-    # are orthogonal-ish to every cluster at D=1152 and mostly measure
-    # the coverage cap of argmax-shard selection)
+    # same fine-cluster centres — the realistic case)
     qrng = np.random.default_rng(1234)
-    n_clusters = max(64, args.n // 500)
-    crng = np.random.default_rng(0)
-    centers = crng.standard_normal((n_clusters, D_EMB)).astype(np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    qc = qrng.integers(0, n_clusters, args.serve_queries)
-    qs = centers[qc] + 0.35 * qrng.standard_normal(
-        (args.serve_queries, D_EMB)
-    ).astype(np.float32)
-    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    _supers, fines = _hier_centers(args.n)
+    qc = qrng.integers(0, len(fines), args.serve_queries)
+    qs = _hier_points(fines, qc, qrng)
 
     # warm the page cache & jit
     for q in qs[:8]:
@@ -296,9 +312,12 @@ def main(argv=None):
         gt_i = np.concatenate(gt_i)
         hits, ranks = 0, []
         for qi, q in enumerate(eval_q):
+            # eval mode: no near-duplicate dedup (the reference's
+            # evaluate path ranks raw results, query_disk_index.rs:225-343;
+            # dedup belongs to the serve handler only)
             results, _c = idx.search(
                 q, 20, beamwidth=args.beamwidth,
-                search_list=args.search_list,
+                search_list=args.search_list, dedup=False,
             )
             found = {r.id for r in results}
             hits += len(found & set(gt_i[qi, :20].tolist()))
