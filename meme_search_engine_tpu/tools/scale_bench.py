@@ -113,6 +113,7 @@ def main(argv=None):
     ap.add_argument("--l", type=int, default=192)
     ap.add_argument("--maxc", type=int, default=750)
     ap.add_argument("--build-batch", type=int, default=1024)
+    ap.add_argument("--build-expand", type=int, default=2)
     ap.add_argument("--eval-queries", type=int, default=512)
     ap.add_argument("--serve-queries", type=int, default=256)
     ap.add_argument("--search-list", type=int, default=500)
@@ -195,6 +196,7 @@ def main(argv=None):
                 l=args.l,
                 maxc=args.maxc,
                 batch_size=args.build_batch,
+                build_expand=args.build_expand,
                 seed=s,
             )
             os.rename(out_path + ".tmp", out_path)
