@@ -304,10 +304,11 @@ def main(argv=None):
         t0 = time.time()
         eval_q = qs[: args.eval_queries]
         corpus = np.fromfile(flat_path, np.float16).reshape(n_total, D_EMB)
+        corpus_dev = jnp.asarray(corpus)  # upload once (tunnel is slow)
         gt_i = []
         for start in range(0, len(eval_q), 64):
             _s, i = mips_topk(
-                jnp.asarray(corpus), jnp.asarray(eval_q[start : start + 64]),
+                corpus_dev, jnp.asarray(eval_q[start : start + 64]),
                 1000, tile=min(n_total, 262_144),
             )
             gt_i.append(np.asarray(i))
