@@ -21,7 +21,15 @@ graph isomorphism).
 
 Scores are fp32 inner products ordered (score desc, id asc); the
 reference's i64 fixed-point trick (vector.rs:45-47) exists only to get a
-total order, which the composite sort key provides here.
+total order, which the composite sort key provides here. One deliberate
+relaxation: the visited-log ranking in ``_greedy_search_batch`` uses a
+single ``lax.top_k`` on scores alone, so ties AT the maxc truncation
+boundary break by visit-log position rather than by id (common with
+``corpus_dtype='int8'``, where scores are exact integers). Which tied
+candidates enter the prune pool may therefore differ from the
+reference's deterministic order; prune/recall semantics are unaffected
+(the pool is a candidate superset, and quality is asserted by recall
+tests, not graph isomorphism).
 """
 
 from __future__ import annotations
@@ -502,7 +510,11 @@ def build_graph(
     _tot = {}
     def _mark(k, t0):
         if _prof:
-            jax.block_until_ready(graph_dev)
+            # sync via a 1-element host fetch: on the tunneled backend
+            # block_until_ready returns early, and the fetch of a slice
+            # enqueued NOW drains everything already on the device
+            # stream (same methodology as bench.py)
+            np.asarray(graph_dev[0, :1])
             _tot[k] = _tot.get(k, 0.0) + (_time.perf_counter() - t0)
         return _time.perf_counter()
 

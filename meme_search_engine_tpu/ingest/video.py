@@ -103,8 +103,12 @@ def _extract_frames_cv2(
         fps = 30.0
     n_thumb = max(1, round(interval_s * fps))
 
-    prev_kept = None
-    first = True
+    # ffmpeg's select=gt(scene,0.05) scores each thumbnail frame against
+    # the PREVIOUS THUMBNAIL frame regardless of whether that one was
+    # selected, so on slowly drifting content consecutive below-threshold
+    # deltas never accumulate into an emission. Track prev_thumb (the
+    # last candidate), not the last emitted frame.
+    prev_thumb = None
     window: List[np.ndarray] = []
     try:
         while True:
@@ -122,9 +126,12 @@ def _extract_frames_cv2(
             if window and (len(window) == n_thumb or not ok):
                 cand = window[_pick_thumbnail(window)]
                 window.clear()
-                if first or _scene_score(prev_kept, cand) > SCENE_THRESHOLD:
-                    prev_kept = cand
-                    first = False
+                emit = (
+                    prev_thumb is None
+                    or _scene_score(prev_thumb, cand) > SCENE_THRESHOLD
+                )
+                prev_thumb = cand
+                if emit:
                     yield cand
             if not ok:
                 break

@@ -380,7 +380,8 @@ def _encoder_fat(
         # the projection into the attention kernel's epilogue (218 vs
         # 203 img/s e2e — the fold's VMEM pressure costs more overlap
         # than the saved HBM pass buys; fat_vit_mha_packed_proj kept in
-        # ops/attention.py with parity tests for reference)
+        # ops/attention.py, parity-tested by
+        # tests/test_attention.py::test_fat_vit_mha_packed_proj_matches_unfused)
         h = matmul_residual(
             attn_out, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"], h,
             nq=nq, interpret=interpret,

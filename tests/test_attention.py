@@ -96,3 +96,38 @@ def test_fat_vit_mha_interpret_matches_masked_xla():
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bhqk,bkhd->bqhd", p, v[:, :NV])
     np.testing.assert_allclose(out[:, :NV], ref[:, :NV], atol=2e-2)
+
+
+def test_fat_vit_mha_packed_proj_matches_unfused(qkv=None):
+    """The fused attention+o-projection+residual kernel equals the
+    unfused composition (fat_vit_mha_packed -> @wo + bo + res) on the
+    same packed input. The fused kernel measured SLOWER e2e (203 vs 218
+    img/s) and is not on the hot path, but stays correct and available."""
+    import jax.numpy as jnp
+
+    from meme_search_engine_tpu.ops.attention import (
+        fat_vit_mha_packed,
+        fat_vit_mha_packed_proj,
+        fat_width,
+    )
+
+    B, SP, H, D, DM, NQ = 2, 16, 4, 8, 24, 2
+    C = fat_width(D)
+    rng = np.random.default_rng(3)
+    qkvf = np.zeros((B, SP, 3, H, C), np.float32)
+    qkvf[..., :D] = rng.standard_normal((B, SP, 3, H, D))
+    qkvf[:, :, 0, :, D] = 1.0  # q const column
+    qkvf[:, :, 2, :, D] = 1.0  # v const column
+    qkvf = jnp.asarray(qkvf.reshape(B, SP, 3 * H * C))
+    wo = jnp.asarray(rng.standard_normal((H * D, DM)), jnp.float32)
+    bo = jnp.asarray(rng.standard_normal(DM), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((B, SP, DM)), jnp.float32)
+
+    fused = np.asarray(
+        fat_vit_mha_packed_proj(
+            qkvf, wo, bo, res, H, D, nq=NQ, interpret=True
+        )
+    )
+    attn = fat_vit_mha_packed(qkvf, H, D, nq=NQ, interpret=True)
+    ref = np.asarray(attn @ wo + bo + res)
+    np.testing.assert_allclose(fused, ref, atol=1e-4)
