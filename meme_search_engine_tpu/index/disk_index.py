@@ -123,6 +123,26 @@ class DiskIndex:
         )
         self.shard_medioids = [m for _c, m in self.header.shards]
 
+        # native hot loop: the whole beam search runs GIL-free in
+        # native/diskio.cpp when the C++ reader is in use (the round-2
+        # Python/numpy per-hop loop measured GIL-bound: 2 serving
+        # threads slower than 1, docs/scale1m_report.json)
+        self._nav = None
+        from .native_io import NativeNav, NativeReader
+
+        if isinstance(self.io, NativeReader):
+            try:
+                self._nav = NativeNav(
+                    self.io,
+                    n,
+                    self.quantizer.n_dims,
+                    np.ascontiguousarray(self.pq_codes),
+                    self.quantizer.n_centroids,
+                    np.ascontiguousarray(self.descriptors),
+                )
+            except Exception:  # noqa: BLE001 — python loop still works
+                self._nav = None
+
     # -- node IO ------------------------------------------------------------
 
     def read_nodes(self, ids: Sequence[int]) -> List[PackedIndexEntry]:
@@ -187,6 +207,12 @@ class DiskIndex:
 
         if start_id is None:
             start_id = self.shard_medioids[self.select_shard(query)]
+
+        if self._nav is not None:
+            return self._finish_native(
+                lut, query, descriptor_scales, use_desc, start_id,
+                beamwidth, search_list, k, dedup, counters,
+            )
 
         # frontier as flat numpy arrays + a seen-bitmap: the per-hop work
         # (dedupe, ADC, top-beamwidth selection) is all vectorised — a
@@ -273,6 +299,53 @@ class DiskIndex:
             results = _dedup_results(results, k)
         return results[:k], counters
 
+    def _finish_native(
+        self, lut, query, descriptor_scales, use_desc, start_id,
+        beamwidth, search_list, k, dedup, counters,
+    ) -> Tuple[List[SearchResult], SearchCounters]:
+        """Run the native beam search and assemble SearchResults for the
+        ranked prefix. Only the records that can reach the final top-k
+        (the dedup window + backfill) are msgpack-decoded in Python; the
+        search itself already read them natively, so these re-reads hit
+        the page cache."""
+        ids, scores, node_reads, pq_cmps = self._nav.search(
+            lut, query, descriptor_scales, use_desc, start_id,
+            beamwidth, search_list,
+        )
+        counters.node_reads += node_reads
+        counters.pq_comparisons += pq_cmps
+
+        window = max(4 * k, 64) if dedup else k
+
+        def make_results(lo: int, hi: int) -> List[SearchResult]:
+            nodes = self.read_nodes(ids[lo:hi].tolist())
+            return [
+                SearchResult(
+                    id=node.id,
+                    score=float(scores[lo + i]),
+                    url=node.url,
+                    scores=node.scores,
+                    shards=node.shards,
+                    timestamp=node.timestamp,
+                    dimensions=node.dimensions,
+                    embedding=node.vector,
+                )
+                for i, node in enumerate(nodes)
+            ]
+
+        results = make_results(0, min(window, len(ids)))
+        if dedup:
+            results = _dedup_results(results, k)
+            # backfill from the ranked tail if dedup dropped below k
+            # (tail entries are appended unchecked, matching the python
+            # path's keep + results[len(cands):] semantics)
+            lo = window
+            while len(results) < k and lo < len(ids):
+                hi = min(lo + window, len(ids))
+                results.extend(make_results(lo, hi))
+                lo = hi
+        return results[:k], counters
+
     # -- offline evaluation (query_disk_index.rs:225-343) -------------------
 
     def evaluate(
@@ -282,19 +355,28 @@ class DiskIndex:
         *,
         beamwidth: int = 3,
         search_list: int = 1000,
+        corpus: Optional[np.ndarray] = None,
     ) -> dict:
         """Brute-force oracle vs per-shard beam search: recall@k, rank
-        stats, PQ-comparison counts."""
+        stats, PQ-comparison counts.
+
+        Pass ``corpus`` (the (N, D) fp16 flat the build pipeline already
+        has on disk) to skip the O(N) 4096-B record sweep — at 1e6 that
+        sweep alone measured 643.9 s; at 1e7+ it is unusable."""
         import jax.numpy as jnp
 
         from ..ops.mips import mips_topk
 
         n = self.header.count
-        all_vecs = np.zeros((n, self.quantizer.n_dims), np.float16)
-        for start in range(0, n, 1024):
-            ids = range(start, min(n, start + 1024))
-            for node in self.read_nodes(list(ids)):
-                all_vecs[node.id] = node.vector.astype(np.float16)
+        if corpus is not None:
+            all_vecs = np.asarray(corpus, np.float16)
+            assert all_vecs.shape == (n, self.quantizer.n_dims)
+        else:
+            all_vecs = np.zeros((n, self.quantizer.n_dims), np.float16)
+            for start in range(0, n, 1024):
+                ids = range(start, min(n, start + 1024))
+                for node in self.read_nodes(list(ids)):
+                    all_vecs[node.id] = node.vector.astype(np.float16)
 
         qs = np.atleast_2d(np.asarray(queries, np.float32))
         _scores, oracle = mips_topk(

@@ -50,6 +50,33 @@ def _load_native():
             ctypes.c_char_p,
         ]
         lib.diskio_close.argtypes = [ctypes.c_void_p]
+        lib.disknav_open.restype = ctypes.c_void_p
+        lib.disknav_open.argtypes = [
+            ctypes.c_void_p,  # reader handle
+            ctypes.c_int64,   # count
+            ctypes.c_int64,   # d
+            ctypes.c_void_p,  # pq_codes
+            ctypes.c_int64,   # n_chunks
+            ctypes.c_int64,   # n_centroids
+            ctypes.c_void_p,  # descriptors
+            ctypes.c_int64,   # n_desc
+        ]
+        lib.disknav_search.restype = ctypes.c_int64
+        lib.disknav_search.argtypes = [
+            ctypes.c_void_p,                  # nav
+            ctypes.POINTER(ctypes.c_float),   # lut
+            ctypes.POINTER(ctypes.c_float),   # query
+            ctypes.POINTER(ctypes.c_float),   # desc_scales
+            ctypes.c_int,                     # use_desc
+            ctypes.c_int64,                   # start_id
+            ctypes.c_int64,                   # beamwidth
+            ctypes.c_int64,                   # search_list
+            ctypes.POINTER(ctypes.c_int64),   # out_ids
+            ctypes.POINTER(ctypes.c_float),   # out_scores
+            ctypes.c_int64,                   # max_out
+            ctypes.POINTER(ctypes.c_int64),   # counters
+        ]
+        lib.disknav_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:  # noqa: BLE001 — fall back to python IO
         _lib_failed = True
@@ -84,6 +111,113 @@ class NativeReader:
     def close(self):
         if self._handle:
             self._lib.diskio_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+class NativeNav:
+    """The beam-search hot loop, native (native/diskio.cpp disknav_*).
+
+    The whole per-query loop — beam pop, pread fan-out, msgpack record
+    parse, seen-bitmap admission, PQ LUT-sum, descriptor add, frontier
+    truncation, final ranking — runs behind one GIL-releasing ctypes
+    call, the portable equivalent of the reference's compiled
+    thread-per-core search (query_disk_index.rs:144-212, 711-742).
+    Round 2 measured the Python per-hop loop GIL-bound (2 threads slower
+    than 1); this is the fix.
+
+    ``pq_codes`` / ``descriptors`` are borrowed (the caller must keep
+    the backing mmaps alive for the Nav's lifetime).
+    """
+
+    def __init__(
+        self,
+        reader: "NativeReader",
+        count: int,
+        d: int,
+        pq_codes,
+        n_centroids: int,
+        descriptors,
+    ):
+        import numpy as np
+
+        lib = _load_native()
+        assert lib is not None and isinstance(reader, NativeReader)
+        self._lib = lib
+        self._reader = reader  # keep the reader (and its handle) alive
+        self._pq = pq_codes
+        self._desc = descriptors
+        self.count = count
+        self.n_desc = int(descriptors.shape[1])
+        assert pq_codes.dtype == np.uint8 and pq_codes.flags.c_contiguous
+        assert descriptors.dtype == np.uint8 and descriptors.flags.c_contiguous
+        self._handle = lib.disknav_open(
+            reader._handle,
+            count,
+            d,
+            pq_codes.ctypes.data_as(ctypes.c_void_p),
+            int(pq_codes.shape[1]),
+            n_centroids,
+            descriptors.ctypes.data_as(ctypes.c_void_p),
+            self.n_desc,
+        )
+        if not self._handle:
+            raise OSError("disknav_open failed")
+
+    def search(
+        self,
+        lut,
+        query,
+        desc_scales,
+        use_desc: bool,
+        start_id: int,
+        beamwidth: int,
+        search_list: int,
+    ):
+        """Returns (ids int64[n], scores f32[n], node_reads, pq_cmps) —
+        visited nodes ranked by exact score desc."""
+        import numpy as np
+
+        lut = np.ascontiguousarray(lut, np.float32)
+        query = np.ascontiguousarray(query, np.float32)
+        desc_scales = np.ascontiguousarray(desc_scales, np.float32)
+        max_out = search_list + beamwidth + 1
+        out_ids = np.empty(max_out, np.int64)
+        out_scores = np.empty(max_out, np.float32)
+        counters = np.zeros(2, np.int64)
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int64)
+        n = self._lib.disknav_search(
+            self._handle,
+            lut.ctypes.data_as(fp),
+            query.ctypes.data_as(fp),
+            desc_scales.ctypes.data_as(fp),
+            1 if use_desc else 0,
+            start_id,
+            beamwidth,
+            search_list,
+            out_ids.ctypes.data_as(ip),
+            out_scores.ctypes.data_as(fp),
+            max_out,
+            counters.ctypes.data_as(ip),
+        )
+        if n < 0:
+            raise OSError("disknav_search failed (corrupt record?)")
+        return (
+            out_ids[:n],
+            out_scores[:n],
+            int(counters[0]),
+            int(counters[1]),
+        )
+
+    def close(self):
+        if self._handle:
+            self._lib.disknav_close(self._handle)
             self._handle = None
 
     def __del__(self):

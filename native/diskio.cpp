@@ -133,3 +133,380 @@ void diskio_close(void* handle) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// disknav — the beam-search hot loop, native.
+//
+// The reference executes the whole per-query loop in compiled code on a
+// thread-per-core io_uring runtime (src/query_disk_index.rs:144-212).
+// Round 2 measured the Python/numpy per-hop frontier work (seen-bitmap
+// update, PQ LUT-sum, top-beamwidth selection) to be GIL-bound: 2 serving
+// threads were SLOWER than 1 (docs/scale1m_report.json qps_vs_threads).
+// This moves the entire search loop behind the C ABI; the ctypes call
+// releases the GIL, so serving threads scale and the per-hop work runs at
+// native speed. Python keeps only per-query setup (LUT GEMV) and final
+// result assembly (msgpack-decoding the top-k records).
+//
+// Semantics mirror meme_search_engine_tpu/index/disk_index.py::search
+// exactly: same seen-bitmap admission, same ADC scoring (+optional
+// descriptor product on both frontier and exact scores), same
+// 2*search_list frontier truncation, same visited>=search_list stop.
+
+namespace {
+
+// fp16 -> fp32 via a 64K-entry table built once (records store LE fp16).
+struct F16Table {
+  float t[65536];
+  F16Table() {
+    for (uint32_t h = 0; h < 65536; ++h) {
+      uint32_t sign = (h & 0x8000u) << 16;
+      uint32_t exp = (h >> 10) & 0x1f;
+      uint32_t man = h & 0x3ffu;
+      uint32_t bits;
+      if (exp == 0) {
+        if (man == 0) {
+          bits = sign;
+        } else {  // subnormal: normalise
+          int e = -1;
+          uint32_t m = man;
+          do {
+            ++e;
+            m <<= 1;
+          } while ((m & 0x400u) == 0);
+          bits = sign | ((127 - 15 - e) << 23) | ((m & 0x3ffu) << 13);
+        }
+      } else if (exp == 31) {
+        bits = sign | 0x7f800000u | (man << 13);
+      } else {
+        bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+      }
+      std::memcpy(&t[h], &bits, 4);
+    }
+  }
+};
+const F16Table& f16_table() {
+  static F16Table table;
+  return table;
+}
+
+// Minimal msgpack cursor: enough to pull id/vector/vertices out of a
+// PackedIndexEntry record (pipeline/formats.py pack()) without touching
+// the other fields.
+struct MsgCursor {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool fail = false;
+
+  uint8_t peek() {
+    if (p >= end) {
+      fail = true;
+      return 0;
+    }
+    return *p;
+  }
+  uint8_t take() {
+    if (p >= end) {
+      fail = true;
+      return 0;
+    }
+    return *p++;
+  }
+  uint64_t be(int n) {
+    if (p + n > end) {
+      fail = true;
+      return 0;
+    }
+    uint64_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 8) | *p++;
+    return v;
+  }
+
+  int64_t read_int() {
+    uint8_t b = take();
+    if (b < 0x80) return b;                       // positive fixint
+    if (b >= 0xe0) return (int8_t)b;              // negative fixint
+    switch (b) {
+      case 0xcc: return (int64_t)be(1);
+      case 0xcd: return (int64_t)be(2);
+      case 0xce: return (int64_t)be(4);
+      case 0xcf: return (int64_t)be(8);
+      case 0xd0: return (int8_t)be(1);
+      case 0xd1: return (int16_t)be(2);
+      case 0xd2: return (int32_t)be(4);
+      case 0xd3: return (int64_t)be(8);
+      default: fail = true; return 0;
+    }
+  }
+
+  // returns length; sets *s to the bytes
+  int64_t read_str(const char** s) {
+    uint8_t b = take();
+    int64_t n;
+    if ((b & 0xe0) == 0xa0) n = b & 0x1f;
+    else if (b == 0xd9) n = (int64_t)be(1);
+    else if (b == 0xda) n = (int64_t)be(2);
+    else if (b == 0xdb) n = (int64_t)be(4);
+    else { fail = true; return -1; }
+    if (p + n > end) { fail = true; return -1; }
+    *s = (const char*)p;
+    p += n;
+    return n;
+  }
+
+  int64_t read_bin(const uint8_t** s) {
+    uint8_t b = take();
+    int64_t n;
+    if (b == 0xc4) n = (int64_t)be(1);
+    else if (b == 0xc5) n = (int64_t)be(2);
+    else if (b == 0xc6) n = (int64_t)be(4);
+    else { fail = true; return -1; }
+    if (p + n > end) { fail = true; return -1; }
+    *s = p;
+    p += n;
+    return n;
+  }
+
+  int64_t read_array_len() {
+    uint8_t b = take();
+    if ((b & 0xf0) == 0x90) return b & 0x0f;
+    if (b == 0xdc) return (int64_t)be(2);
+    if (b == 0xdd) return (int64_t)be(4);
+    fail = true;
+    return -1;
+  }
+
+  int64_t read_map_len() {
+    uint8_t b = take();
+    if ((b & 0xf0) == 0x80) return b & 0x0f;
+    if (b == 0xde) return (int64_t)be(2);
+    if (b == 0xdf) return (int64_t)be(4);
+    fail = true;
+    return -1;
+  }
+
+  void skip() {
+    uint8_t b = peek();
+    if (fail) return;
+    if (b < 0x80 || b >= 0xe0 || b == 0xc0 || b == 0xc2 || b == 0xc3) {
+      ++p;
+      return;
+    }
+    if ((b & 0xe0) == 0xa0 || b == 0xd9 || b == 0xda || b == 0xdb) {
+      const char* s;
+      read_str(&s);
+      return;
+    }
+    if (b == 0xc4 || b == 0xc5 || b == 0xc6) {
+      const uint8_t* s;
+      read_bin(&s);
+      return;
+    }
+    if ((b & 0xf0) == 0x90 || b == 0xdc || b == 0xdd) {
+      int64_t n = read_array_len();
+      for (int64_t i = 0; i < n && !fail; ++i) skip();
+      return;
+    }
+    if ((b & 0xf0) == 0x80 || b == 0xde || b == 0xdf) {
+      int64_t n = read_map_len();
+      for (int64_t i = 0; i < n && !fail; ++i) {
+        skip();
+        skip();
+      }
+      return;
+    }
+    switch (b) {
+      case 0xca: ++p; be(4); return;  // f32
+      case 0xcb: ++p; be(8); return;  // f64
+      case 0xcc: case 0xd0: ++p; be(1); return;
+      case 0xcd: case 0xd1: ++p; be(2); return;
+      case 0xce: case 0xd2: ++p; be(4); return;
+      case 0xcf: case 0xd3: ++p; be(8); return;
+      default: fail = true; return;
+    }
+  }
+};
+
+struct ParsedNode {
+  int64_t id = -1;
+  const uint8_t* vec_f16 = nullptr;  // LE fp16, vec_len halfwords
+  int64_t vec_len = 0;
+  std::vector<int64_t> vertices;
+};
+
+// Record layout: u32 LE body length + msgpack map (formats.py pack()).
+bool parse_record(const uint8_t* rec, int64_t record_size, ParsedNode* out) {
+  uint32_t len;
+  std::memcpy(&len, rec, 4);
+  if ((int64_t)len + 4 > record_size) return false;
+  MsgCursor c{rec + 4, rec + 4 + len};
+  int64_t n_keys = c.read_map_len();
+  if (c.fail) return false;
+  for (int64_t i = 0; i < n_keys; ++i) {
+    const char* key;
+    int64_t klen = c.read_str(&key);
+    if (c.fail) return false;
+    if (klen == 2 && !std::memcmp(key, "id", 2)) {
+      out->id = c.read_int();
+    } else if (klen == 6 && !std::memcmp(key, "vector", 6)) {
+      int64_t n = c.read_bin(&out->vec_f16);
+      out->vec_len = n / 2;
+    } else if (klen == 8 && !std::memcmp(key, "vertices", 8)) {
+      int64_t n = c.read_array_len();
+      if (c.fail || n < 0) return false;
+      out->vertices.resize(n);
+      for (int64_t j = 0; j < n; ++j) out->vertices[j] = c.read_int();
+    } else {
+      c.skip();
+    }
+    if (c.fail) return false;
+  }
+  return out->id >= 0 && out->vec_f16 != nullptr;
+}
+
+struct Nav {
+  Reader* reader;          // borrowed from diskio_open (Python owns it)
+  int64_t count;           // nodes in the index
+  int64_t d;               // embedding dims
+  const uint8_t* pq_codes; // (count, n_chunks), mmap'd by Python
+  int64_t n_chunks;
+  int64_t n_centroids;
+  const uint8_t* descriptors;  // (count, n_desc)
+  int64_t n_desc;
+};
+
+struct FrontierEntry {
+  float score;
+  int64_t id;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Attach a navigator to an open diskio reader. pq_codes/descriptors are
+// borrowed pointers (Python keeps the mmaps alive for the Nav lifetime).
+void* disknav_open(void* reader_handle, int64_t count, int64_t d,
+                   const uint8_t* pq_codes, int64_t n_chunks,
+                   int64_t n_centroids, const uint8_t* descriptors,
+                   int64_t n_desc) {
+  f16_table();  // build the table outside the hot path
+  auto* nav = new Nav{static_cast<Reader*>(reader_handle), count, d,
+                      pq_codes,  n_chunks, n_centroids, descriptors, n_desc};
+  return nav;
+}
+
+// Full beam search. Returns the number of visited nodes written to
+// out_ids/out_scores (ranked by exact score desc, id asc at ties), or -1
+// on a parse/IO failure. counters := {node_reads, pq_comparisons}.
+int64_t disknav_search(void* handle, const float* lut, const float* query,
+                       const float* desc_scales, int use_desc,
+                       int64_t start_id, int64_t beamwidth,
+                       int64_t search_list, int64_t* out_ids,
+                       float* out_scores, int64_t max_out,
+                       int64_t* counters) {
+  auto* nav = static_cast<Nav*>(handle);
+  const float* f16 = f16_table().t;
+  const int64_t rs = nav->reader->record_size;
+  int64_t node_reads = 0, pq_cmps = 0;
+
+  auto adc = [&](int64_t id) {
+    const uint8_t* code = nav->pq_codes + id * nav->n_chunks;
+    float s = 0.f;
+    for (int64_t c = 0; c < nav->n_chunks; ++c)
+      s += lut[c * nav->n_centroids + code[c]];
+    return s;
+  };
+  auto desc_dot = [&](int64_t id) {
+    const uint8_t* dsc = nav->descriptors + id * nav->n_desc;
+    float s = 0.f;
+    for (int64_t c = 0; c < nav->n_desc; ++c) s += dsc[c] * desc_scales[c];
+    return s;
+  };
+
+  std::vector<uint64_t> seen((nav->count + 63) / 64, 0);
+  auto test_set = [&](int64_t id) {
+    uint64_t& w = seen[id >> 6];
+    uint64_t bit = 1ull << (id & 63);
+    bool was = w & bit;
+    w |= bit;
+    return was;
+  };
+
+  std::vector<FrontierEntry> frontier;
+  frontier.reserve(2 * search_list + 256);
+  test_set(start_id);
+  frontier.push_back({adc(start_id) + (use_desc ? desc_dot(start_id) : 0.f),
+                      start_id});
+  pq_cmps += 1;
+
+  std::vector<FrontierEntry> visited;
+  visited.reserve(search_list + beamwidth + 1);
+  std::vector<char> buf(beamwidth * rs);
+  std::vector<int64_t> batch(beamwidth);
+  auto by_score_desc = [](const FrontierEntry& a, const FrontierEntry& b) {
+    return a.score > b.score;
+  };
+
+  while (!frontier.empty()) {
+    int64_t bw = std::min<int64_t>(beamwidth, frontier.size());
+    if ((int64_t)frontier.size() > bw)
+      std::nth_element(frontier.begin(), frontier.begin() + bw - 1,
+                       frontier.end(), by_score_desc);
+    for (int64_t i = 0; i < bw; ++i) batch[i] = frontier[i].id;
+    frontier.erase(frontier.begin(), frontier.begin() + bw);
+
+    if (diskio_read_batch(nav->reader, batch.data(), bw, buf.data()) != bw)
+      return -1;
+    node_reads += bw;
+
+    for (int64_t i = 0; i < bw; ++i) {
+      ParsedNode node;
+      if (!parse_record((const uint8_t*)buf.data() + i * rs, rs, &node))
+        return -1;
+      // exact fp16 dot (+ descriptor product, matching the reference's
+      // slider reordering of final results, query_disk_index.rs:168-169)
+      float exact = 0.f;
+      int64_t nd = std::min(node.vec_len, nav->d);
+      for (int64_t j = 0; j < nd; ++j) {
+        uint16_t h;
+        std::memcpy(&h, node.vec_f16 + 2 * j, 2);
+        exact += query[j] * f16[h];
+      }
+      if (use_desc) exact += desc_dot(node.id);
+      visited.push_back({exact, node.id});
+
+      for (int64_t v : node.vertices) {
+        if (v < 0 || v >= nav->count || test_set(v)) continue;
+        float approx = adc(v);
+        ++pq_cmps;
+        if (use_desc) approx += desc_dot(v);
+        frontier.push_back({approx, v});
+      }
+    }
+
+    if ((int64_t)frontier.size() > 2 * search_list) {
+      std::nth_element(frontier.begin(), frontier.begin() + search_list - 1,
+                       frontier.end(), by_score_desc);
+      frontier.resize(search_list);
+    }
+    if ((int64_t)visited.size() >= search_list) break;
+  }
+
+  std::sort(visited.begin(), visited.end(),
+            [](const FrontierEntry& a, const FrontierEntry& b) {
+              if (a.score != b.score) return a.score > b.score;
+              return a.id < b.id;
+            });
+  int64_t n_out = std::min<int64_t>(visited.size(), max_out);
+  for (int64_t i = 0; i < n_out; ++i) {
+    out_ids[i] = visited[i].id;
+    out_scores[i] = visited[i].score;
+  }
+  counters[0] = node_reads;
+  counters[1] = pq_cmps;
+  return n_out;
+}
+
+void disknav_close(void* handle) { delete static_cast<Nav*>(handle); }
+
+}  // extern "C"

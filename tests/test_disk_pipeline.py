@@ -406,3 +406,46 @@ def test_scale_bench_tool_end_to_end(tmp_path, monkeypatch):
         "--pq-chunks", "8", "--pq-centroids", "16", "--ood-queries", "16",
     ])
     assert "shard_builds" not in json.load(open(f"{wd}/report.json"))["stages_s"]
+
+
+def test_native_beam_search_matches_python(built_index):
+    """The C++ disknav beam search (the GIL-free serving hot loop)
+    returns identical ranked results and counters to the Python
+    reference loop — with and without descriptor sliders, across
+    start shards."""
+    out_dir, vectors, _ = built_index
+    from meme_search_engine_tpu.index import native_io
+
+    if native_io._load_native() is None:
+        pytest.skip("native diskio unavailable")
+    idx_nat = DiskIndex(out_dir)
+    assert idx_nat._nav is not None, "native nav should attach"
+    idx_py = DiskIndex(
+        out_dir,
+        io_backend=native_io.PythonReader(
+            os.path.join(out_dir, "index.bin"), 4096
+        ),
+    )
+    assert idx_py._nav is None
+
+    rng = np.random.default_rng(11)
+    scale_sets = [None, np.array([1 / 512, 0, -1 / 512, 0], np.float32)]
+    for qi in rng.integers(0, N, 6):
+        for scales in scale_sets:
+            for dedup in (False, True):
+                rn, cn = idx_nat.search(
+                    vectors[qi], 10, beamwidth=3, search_list=150,
+                    descriptor_scales=scales, dedup=dedup,
+                )
+                rp, cp = idx_py.search(
+                    vectors[qi], 10, beamwidth=3, search_list=150,
+                    descriptor_scales=scales, dedup=dedup,
+                )
+                assert [r.id for r in rn] == [r.id for r in rp]
+                np.testing.assert_allclose(
+                    [r.score for r in rn], [r.score for r in rp],
+                    rtol=1e-5, atol=1e-6,
+                )
+                assert cn.node_reads == cp.node_reads
+                assert cn.pq_comparisons == cp.pq_comparisons
+                assert all(r.url for r in rn if r.id < N)
