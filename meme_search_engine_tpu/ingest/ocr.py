@@ -51,8 +51,18 @@ def scan_chunks(image, backend: Callable[[bytes], List[Segment]]) -> List[Segmen
 
 
 def ocr_image(image, backend: Optional[Callable] = None) -> Tuple[str, List[Segment]]:
-    """Full-image OCR -> (joined text, raw segments)."""
+    """Full-image OCR -> (joined text, raw segments).
+
+    Images wider than 1024px are downscaled to width 1024 first
+    (ocr.rs:140-146, CatmullRom there, bicubic here); segment
+    coordinates refer to the resized image, as in the reference.
+    """
     backend = backend or lens_backend
+    if image.width > MAX_CHUNK_HEIGHT:
+        from PIL import Image
+
+        nh = max(1, round(image.height * MAX_CHUNK_HEIGHT / image.width))
+        image = image.resize((MAX_CHUNK_HEIGHT, nh), Image.BICUBIC)
     segments = scan_chunks(image, backend)
     text = "\n".join(s[0] for s in segments)
     return text, segments
@@ -61,40 +71,110 @@ def ocr_image(image, backend: Optional[Callable] = None) -> Tuple[str, List[Segm
 _CALLBACK_RE = re.compile(r"AF_initDataCallback\((\{key: 'ds:1'.*?\})\);", re.S)
 
 
-def _parse_lens_response(html: str) -> List[Segment]:
-    """Extract text segments from the AF_initDataCallback payload
-    (ocr.rs:50-133's parse, reimplemented against the same response
-    shape)."""
+def _js_to_json(blob: str) -> str:
+    """The AF_initDataCallback argument is JS, not strict JSON: bare
+    object keys (``key:``, ``data:``) and single-quoted strings. A
+    char-level scan converts both without mangling apostrophes inside
+    double-quoted strings (real OCR text contains them)."""
+    out: List[str] = []
+    i, n = 0, len(blob)
+    while i < n:
+        c = blob[i]
+        if c == '"':
+            j = i + 1
+            while j < n and blob[j] != '"':
+                j += 2 if blob[j] == "\\" else 1
+            out.append(blob[i : j + 1])
+            i = j + 1
+        elif c == "'":
+            j = i + 1
+            buf: List[str] = []
+            while j < n and blob[j] != "'":
+                if blob[j] == "\\":
+                    # JSON has no \' escape; unwrap it
+                    nxt = blob[j + 1] if j + 1 < n else ""
+                    buf.append("'" if nxt == "'" else blob[j : j + 2])
+                    j += 2
+                else:
+                    buf.append('\\"' if blob[j] == '"' else blob[j])
+                    j += 1
+            out.append('"' + "".join(buf) + '"')
+            i = j + 1
+        elif c.isalpha() or c == "_":
+            j = i
+            while j < n and (blob[j].isalnum() or blob[j] == "_"):
+                j += 1
+            word = blob[i:j]
+            k = j
+            while k < n and blob[k] in " \t\r\n":
+                k += 1
+            if k < n and blob[k] == ":" and word not in ("true", "false", "null"):
+                out.append(f'"{word}"')
+            else:
+                out.append(word)
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _parse_lens_response(
+    html: str, image_w: int, image_h: int
+) -> List[Segment]:
+    """Extract text segments from the AF_initDataCallback payload,
+    matching the reference's structural parse exactly (ocr.rs:50-133):
+
+    - segment strings live at ``data[3][4][0][0]``
+    - regions live at ``data[2][3][0]``; a region applies iff its
+      element 11 is a string starting with ``"text:"``, and its element
+      1 holds ``[center_x, center_y, width, height]`` as fractions of
+      the chunk dimensions (rationalize_coords_format1, ocr.rs:33-46)
+    - segments and qualifying regions zip positionally
+
+    Returns [] on any missing/shifted structure (the reference errors;
+    callers here treat a chunk with no parse as no text).
+    """
     m = _CALLBACK_RE.search(html)
     if not m:
         return []
-    # The blob is JS, not strict JSON: quote bare keys then parse.
-    blob = re.sub(r"([{,])\s*([A-Za-z_][A-Za-z0-9_]*)\s*:", r'\1"\2":', m.group(1))
     try:
-        data = json.loads(blob)
+        data = json.loads(_js_to_json(m.group(1)))
     except json.JSONDecodeError:
         return []
-    segments: List[Segment] = []
+    if not isinstance(data, dict) or "errorHasStatus" in data:
+        return []
+    root = data.get("data")
+    try:
+        segs_raw = root[3][4][0][0]
+        regions_raw = root[2][3][0]
+    except (TypeError, IndexError, KeyError):
+        return []
+    if not isinstance(segs_raw, list) or not isinstance(regions_raw, list):
+        return []
 
-    def walk(node):
-        # Lens encodes each word as [text, ..., [y, x, h, w, ...]] leaves;
-        # collect string+geometry pairs wherever they appear.
-        if isinstance(node, list):
-            if (
-                len(node) >= 2
-                and isinstance(node[0], str)
-                and node[0]
-                and isinstance(node[-1], list)
-                and len(node[-1]) >= 4
-                and all(isinstance(v, (int, float)) for v in node[-1][:4])
-            ):
-                y, x, h, w = node[-1][:4]
-                segments.append((node[0], (x, y, w, h)))
-            for child in node:
-                walk(child)
-
-    walk(data.get("data", data))
-    return segments
+    coords: List[Tuple[float, float, float, float]] = []
+    for region in regions_raw:
+        try:
+            tag = region[11]
+            if not (isinstance(tag, str) and tag.startswith("text:")):
+                continue
+            cxf, cyf, wf, hf = (float(v) for v in region[1][:4])
+        except (TypeError, IndexError, ValueError):
+            continue
+        coords.append(
+            (
+                round((cxf - wf / 2.0) * image_w),
+                round((cyf - hf / 2.0) * image_h),
+                round(wf * image_w),
+                round(hf * image_h),
+            )
+        )
+    return [
+        (text, xywh)
+        for text, xywh in zip(segs_raw, coords)
+        if isinstance(text, str)
+    ]
 
 
 def lens_backend(png_bytes: bytes, timeout: float = 30.0) -> List[Segment]:
@@ -128,5 +208,11 @@ def lens_backend(png_bytes: bytes, timeout: float = 30.0) -> List[Segment]:
             "User-Agent": "Mozilla/5.0 (X11; Linux x86_64; rv:109.0)",
         },
     )
+    from PIL import Image
+
+    with Image.open(io.BytesIO(png_bytes)) as im:
+        w, h = im.size
     with urllib.request.urlopen(req, timeout=timeout) as resp:
-        return _parse_lens_response(resp.read().decode("utf-8", "replace"))
+        return _parse_lens_response(
+            resp.read().decode("utf-8", "replace"), w, h
+        )

@@ -241,3 +241,42 @@ def test_video_frame_extraction_e2e(tmp_path):
         video.extract_frames(path, interval_s=1.0, max_dim=32)
     )
     assert frames and max(frames[0].shape[:2]) <= 32
+
+
+def test_lens_response_parser_fixture():
+    """_parse_lens_response against a reconstructed AF_initDataCallback
+    payload with the reference's exact structure (ocr.rs:50-133):
+    segments at data[3][4][0][0], regions at data[2][3][0] gated on
+    element 11 == "text:*", fraction coords rationalized to pixels."""
+    import os
+
+    from meme_search_engine_tpu.ingest.ocr import _parse_lens_response
+
+    html = open(
+        os.path.join(os.path.dirname(__file__), "fixtures", "lens_response.html")
+    ).read()
+    segs = _parse_lens_response(html, 800, 600)
+    assert [t for t, _ in segs] == [
+        "TOP TEXT OF THE MEME",
+        "don't panic",
+        'he said "bottom text"',
+    ]
+    # rationalize_coords_format1: x=(cx-w/2)*W, y=(cy-h/2)*H, w=w*W, h=h*H
+    assert segs[0][1] == (
+        round((0.5 - 0.8 / 2) * 800),
+        round((0.1 - 0.05 / 2) * 600),
+        round(0.8 * 800),
+        round(0.05 * 600),
+    )
+    assert segs[1][1] == (round((0.25 - 0.15) * 800), round((0.3 - 0.02) * 600),
+                          round(0.3 * 800), round(0.04 * 600))
+    # the "image:logo-0" region is skipped; segment 2 zips with the
+    # THIRD text region
+    assert segs[2][1][2] == round(0.4 * 800)
+
+    # error payloads and pages without a ds:1 callback parse to []
+    err = html.replace(
+        "hash: '2', data:", "hash: '2', errorHasStatus: true, data:", 1
+    )
+    assert _parse_lens_response(err, 800, 600) == []
+    assert _parse_lens_response("<html>nope</html>", 800, 600) == []
