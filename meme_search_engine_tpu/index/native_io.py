@@ -77,6 +77,19 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int64),   # counters
         ]
         lib.disknav_close.argtypes = [ctypes.c_void_p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.stitch_refill.restype = None
+        lib.stitch_refill.argtypes = [
+            i32p,             # graph (n, r)
+            i32p,             # degrees (n,)
+            ctypes.c_int64,   # n
+            i32p,             # in_ns (P,)
+            ctypes.c_int64,   # n_pairs
+            i32p,             # cands (P, r)
+            ctypes.c_int64,   # bp
+            ctypes.c_int64,   # max_add
+            ctypes.c_int64,   # r
+        ]
         _lib = lib
     except Exception:  # noqa: BLE001 — fall back to python IO
         _lib_failed = True
@@ -244,6 +257,45 @@ class PythonReader:
         if self._fd is not None:
             os.close(self._fd)
             self._fd = None
+
+
+def native_stitch_refill(
+    graph, degrees, in_ns, cands, bp: int, max_add: int, r: int
+) -> bool:
+    """Run the RobustStitch slot-refill loop natively (exact sequential
+    semantics, native/diskio.cpp stitch_refill). Mutates ``graph`` in
+    place. Returns False when the native library is unavailable or the
+    arrays are not in the expected layout (caller falls back to the
+    python loop)."""
+    import numpy as np
+
+    lib = _load_native()
+    if lib is None:
+        return False
+    if not (
+        graph.dtype == np.int32
+        and graph.flags.c_contiguous
+        and cands.dtype == np.int32
+        and cands.flags.c_contiguous
+        and graph.shape[1] == r
+        and cands.shape[1] == r
+    ):
+        return False
+    degrees32 = np.ascontiguousarray(degrees, np.int32)
+    in_ns32 = np.ascontiguousarray(in_ns, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.stitch_refill(
+        graph.ctypes.data_as(i32p),
+        degrees32.ctypes.data_as(i32p),
+        graph.shape[0],
+        in_ns32.ctypes.data_as(i32p),
+        len(in_ns32),
+        cands.ctypes.data_as(i32p),
+        bp,
+        max_add,
+        r,
+    )
+    return True
 
 
 def open_reader(path: str, record_size: int, prefer_native: bool = True):

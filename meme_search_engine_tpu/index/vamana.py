@@ -734,6 +734,7 @@ def robust_stitch(
     vectors: np.ndarray,
     graph: np.ndarray,
     config: VamanaConfig,
+    _force_sequential: bool = False,
 ) -> np.ndarray:
     """OOD-DiskANN RobustStitch (lib.rs:326-374): remove base->query
     edges; refill each former in-neighbour's spare slots with the query's
@@ -791,17 +792,34 @@ def robust_stitch(
     scores[~valid] = -np.inf
     order = np.argsort(-scores, axis=1)
 
-    for p_idx in range(len(pairs)):
+    # refill with base nodes only — re-adding query ids would recreate
+    # the edges stitch just removed. The add loop carries sequential
+    # per-in-neighbour state (degree, membership, per-pair budget); a
+    # numpy vectorisation was built and measured SLOWER than the
+    # interpreted loop on this host (int64-key isin/argsort machinery
+    # 2-3x the loop cost), so the exact loop runs natively instead
+    # (native/diskio.cpp stitch_refill), with this python fallback.
+    cand_sorted = np.ascontiguousarray(
+        np.take_along_axis(qneigh, order, axis=1), np.int32
+    )  # (P, R) rank-ordered
+    max_add = config.max_add_per_stitch_iter
+
+    if not _force_sequential:
+        from .native_io import native_stitch_refill
+
+        if native_stitch_refill(
+            graph, degrees, in_ns, cand_sorted, bp, max_add, config.r
+        ):
+            return graph
+
+    for p_idx in range(len(in_ns)):
         in_n = in_ns[p_idx]
         added = 0
         deg = degrees[in_n]
         existing = set(graph[in_n, :deg].tolist())
-        for j in order[p_idx]:
-            if added >= config.max_add_per_stitch_iter or deg >= config.r:
+        for cand in cand_sorted[p_idx]:
+            if added >= max_add or deg >= config.r:
                 break
-            cand = qneigh[p_idx, j]
-            # refill with base nodes only — re-adding query ids would
-            # recreate the edges stitch just removed
             if cand < 0 or cand >= bp or cand in existing:
                 continue
             graph[in_n, deg] = cand

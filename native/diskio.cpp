@@ -509,4 +509,42 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
 
 void disknav_close(void* handle) { delete static_cast<Nav*>(handle); }
 
+// ---------------------------------------------------------------------------
+// stitch_refill — the RobustStitch slot-refill loop (lib.rs:326-374
+// semantics), exact and sequential. The loop carries per-in-neighbour
+// state (degree, membership, per-pair budget) that defeats numpy
+// vectorisation: measured on this host, int64-key isin/argsort machinery
+// costs 2-3x the interpreted loop it replaces, so the loop runs here at
+// native speed instead. Python fallback kept in index/vamana.py.
+//
+// graph: (n, r) int32 adjacency, -1-padded; degrees: (n,) int32;
+// in_ns: (P,) int32 former in-neighbours in stream order; cands:
+// (P, r) int32 candidate ids in score-rank order.
+void stitch_refill(int32_t* graph, int32_t* degrees, int64_t n,
+                   const int32_t* in_ns, int64_t n_pairs,
+                   const int32_t* cands, int64_t bp, int64_t max_add,
+                   int64_t r) {
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    int32_t in_n = in_ns[p];
+    int32_t* row = graph + (int64_t)in_n * r;
+    int32_t deg = degrees[in_n];
+    int64_t added = 0;
+    const int32_t* cand_row = cands + p * r;
+    for (int64_t j = 0; j < r && added < max_add && deg < r; ++j) {
+      int32_t c = cand_row[j];
+      if (c < 0 || c >= bp) continue;
+      bool present = false;
+      for (int32_t k = 0; k < deg; ++k)
+        if (row[k] == c) {
+          present = true;
+          break;
+        }
+      if (present) continue;
+      row[deg++] = c;
+      ++added;
+    }
+    degrees[in_n] = deg;
+  }
+}
+
 }  // extern "C"

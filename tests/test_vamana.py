@@ -176,3 +176,42 @@ def test_int8_corpus_build_recall_parity():
         recalls[dtype] = hits / (len(qs) * 10)
     assert recalls["int8"] > recalls["bf16"] - 0.05, recalls
     assert recalls["int8"] > 0.8, recalls
+
+
+def test_stitch_refill_vectorised_matches_sequential():
+    """The vectorised singleton-group refill path produces the identical
+    graph to the exact per-pair sequential loop, on a fixture engineered
+    so many base nodes carry ONE query in-edge (vectorised path) and the
+    rest carry several (sequential path) — including budget exhaustion
+    and duplicate-candidate interactions."""
+    rng = np.random.default_rng(7)
+    n_base, n_query, d, r = 120, 24, 16, 8
+    n = n_base + n_query
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    cfg = VamanaConfig(
+        r=r, l=16, maxc=32, alpha=1.0, batch_size=64,
+        query_breakpoint=n_base, max_add_per_stitch_iter=2,
+    )
+    # hand-build adjacency: base rows get some base edges + 1-3 query
+    # edges; query rows get base out-neighbours with heavy overlap so
+    # cross-pair dedup/budget interactions occur
+    graph = np.full((n, r), -1, np.int32)
+    for i in range(n_base):
+        n_b = rng.integers(2, 5)
+        base_e = rng.choice(n_base, n_b, replace=False)
+        n_q = rng.integers(1, 4)
+        query_e = n_base + rng.choice(n_query, n_q, replace=False)
+        edges = np.concatenate([base_e, query_e])[:r]
+        graph[i, : len(edges)] = edges
+    pool = rng.choice(n_base, 12, replace=False)  # shared pool -> dups
+    for q in range(n_base, n):
+        edges = rng.choice(pool, rng.integers(4, 9), replace=False)
+        graph[q, : len(edges)] = edges
+
+    got = robust_stitch(x, graph, cfg)
+    oracle = robust_stitch(x, graph, cfg, _force_sequential=True)
+    np.testing.assert_array_equal(got, oracle)
+    # and the stitch contract holds: no base->query edges remain
+    assert not np.any(got[:n_base] >= n_base)
