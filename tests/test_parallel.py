@@ -249,3 +249,35 @@ print("OK", pid)
     for rc, out, err in outs:
         assert rc == 0, (rc, out, err[-2000:])
         assert "OK" in out
+
+
+def test_engine_perdevice_flops_scale():
+    """dp scaling evidence for the EMBEDDING path (the search path has
+    the analogous test above): at fixed global batch, the per-device
+    compiled FLOPs of both towers drop ~1/n with mesh size. The full
+    curve (incl. wall time on the shared-core CPU mesh) is
+    tools_profile_engine_scaling.py / BENCHMARKS.md."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from meme_search_engine_tpu.models import siglip
+
+    cfg = siglip.tiny_test_config()
+    params = siglip.init_params(jax.random.PRNGKey(0), cfg)
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (16, cfg.image_size, cfg.image_size, 3), dtype=np.uint8
+    )
+    flops = {}
+    for n in (1, 4):
+        m = meshlib.make_mesh(n, model_parallel=1)
+        rep = NamedSharding(m, P())
+        p_dev = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+        b_dev = jax.device_put(
+            jnp.asarray(imgs), NamedSharding(m, P(meshlib.DATA))
+        )
+        compiled = (
+            jax.jit(lambda pp, bb: siglip.encode_image(pp, bb, cfg))
+            .lower(p_dev, b_dev)
+            .compile()
+        )
+        flops[n] = compiled.cost_analysis()["flops"]
+    assert flops[4] < flops[1] / 3.2, flops

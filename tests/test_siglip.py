@@ -129,3 +129,50 @@ def test_fat_text_tower_matches_xla():
     np.testing.assert_allclose(e_fat, e_xla, atol=5e-2)
     cos = (e_fat * e_xla).sum(-1)
     assert cos.min() > 0.999, cos
+
+
+def test_resize_path_embedding_parity(tiny):
+    """SURVEY hard part 1: the client-side PIL resize (Hamming down /
+    Lanczos up, common.rs:43-44) and the in-graph XLA bilinear+antialias
+    resize must produce CLOSE embeddings for the same image, or the two
+    ingest paths drift. Bound the delta on smooth (photo-like) content;
+    pure noise images are the adversarial case for any resampler pair
+    and are excluded by construction.
+
+    Measured at tiny config: cos >= 0.99 for downscale (Hamming vs
+    bilinear-antialias), cos >= 0.97 for upscale (Lanczos vs bilinear).
+    At SO400M shapes on TPU the measured delta is recorded in
+    BENCHMARKS.md (resize-path parity row)."""
+    from meme_search_engine_tpu.serving.preprocess import resize_for_embed
+
+    cfg, params = tiny
+    r = cfg.image_size
+
+    def smooth_image(h, w, seed):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        rng = np.random.default_rng(seed)
+        img = np.zeros((h, w, 3), np.float32)
+        for c in range(3):
+            for _ in range(4):
+                fy, fx = rng.uniform(0.5, 3.0, 2)
+                ph = rng.uniform(0, 2 * np.pi)
+                img[..., c] += np.sin(
+                    2 * np.pi * (fy * yy / h + fx * xx / w) + ph
+                )
+        img -= img.min()
+        img *= 255.0 / max(img.max(), 1e-6)
+        return img.astype(np.uint8)
+
+    for h, w, min_cos in ((r * 3 + 7, r * 2 + 3, 0.99), (r - 3, r - 5, 0.97)):
+        img = smooth_image(h, w, seed=h)
+        client = resize_for_embed(img, (r, r))[None]
+        e_client = np.asarray(
+            siglip.encode_image(
+                params, jnp.asarray(client), cfg, preprocessed=False
+            )
+        )[0]
+        e_graph = np.asarray(
+            siglip.encode_image(params, jnp.asarray(img[None]), cfg)
+        )[0]
+        cos = float(e_client @ e_graph)
+        assert cos >= min_cos, (h, w, cos)
