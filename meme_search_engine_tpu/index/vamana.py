@@ -191,11 +191,19 @@ def _batched_greedy_search(
             jnp.logical_or(buf_visited[rows, slots], slot_ok)
         )
 
-        # expand: gather adjacency rows + candidate vectors, one MXU dot
+        # expand: gather adjacency rows + candidate vectors, one dot.
+        # On TPU the row gather is a Pallas DMA kernel fused with the
+        # query dot (ops/gather.py gather_dot) — XLA's generic gather
+        # measures ~16 GB/s effective here and dominated the build
         neigh = graph[cur].reshape(b, expand * r)  # (B, E*R)
         valid = neigh >= 0
         neigh_safe = jnp.where(valid, neigh, 0)
-        nvecs = vectors[neigh_safe].astype(jnp.float32)  # (B, E*R, D)
+        if jax.default_backend() == "tpu":
+            from ..ops.gather import gather_rows
+
+            nvecs = gather_rows(vectors, neigh_safe).astype(jnp.float32)
+        else:
+            nvecs = vectors[neigh_safe].astype(jnp.float32)  # (B, E*R, D)
         nscores = jnp.einsum(
             "bd,brd->br", qf, nvecs, preferred_element_type=jnp.float32
         )
@@ -321,13 +329,21 @@ def _batched_robust_prune(
     # self-edges never selected (p_star == p skip, lib.rs:241)
     valid0 = jnp.logical_and(valid0, cand_ids != p_nodes[:, None])
     cand_safe = jnp.where(cand_ids != INVALID, cand_ids, 0)
-    cvecs = vectors[cand_safe]  # (B, C, D) bf16
 
     # ALL candidate-pair dots up front as one batched MXU matmul
     # (C, D) @ (D, C) per row, fp32 accumulation. The selection loop then
     # only gathers rows of this matrix — the per-step (B,1,D)@(B,D,C)
     # matvec it replaces ran the MXU at ~1/128 utilisation and dominated
     # the whole build (measured 1.6 s -> ~0.1 s per 1024-node round).
+    # On TPU the (B, C, D) row gather feeding it runs through the
+    # pipelined Pallas gather (ops/gather.py) instead of XLA's generic
+    # gather (~39 GB/s effective).
+    if jax.default_backend() == "tpu":
+        from ..ops.gather import gather_rows
+
+        cvecs = gather_rows(vectors, cand_safe)  # (B, C, D)
+    else:
+        cvecs = vectors[cand_safe]  # (B, C, D) bf16
     pair = jnp.einsum(
         "bcd,bed->bce", cvecs, cvecs, preferred_element_type=jnp.float32
     )  # (B, C, C)
@@ -655,21 +671,27 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp,
     keep = pos < 64
     extras[gidx[keep], pos[keep]] = src[keep]
 
-    # fixed candidate width + fixed chunk so the jitted prune compiles
-    # once per build (not once per round) and the (chunk, C, D) gather
-    # stays bounded (a round can overflow thousands of nodes)
+    # fixed candidate width; batch size padded to a power-of-two bucket
+    # (>=1024, <=8192) so the jitted prune compiles a handful of times
+    # per build. Chunking at 1024 with a per-chunk host download cost a
+    # tunnel round-trip PER CHUNK (the measured 'overflow' phase was
+    # ~30% of the whole 20k build); one padded dispatch + ONE download
+    # per round removes all but one round-trip, and the Pallas fused
+    # gathers keep the memory footprint (B, C, C), never (B, C, D).
     c = cfg.r + 64
-    chunk = 1024
+    max_chunk = 8192
+    out_chunks = []
 
-    for start in range(0, len(all_nodes), chunk):
-        nodes = all_nodes[start : start + chunk]
+    for start in range(0, len(all_nodes), max_chunk):
+        nodes = all_nodes[start : start + max_chunk]
         b = len(nodes)
+        b_pad = max(1024, 1 << (b - 1).bit_length())
         rows = graph[nodes].astype(np.int64)
         rows[rows < 0] = INVALID
-        cand = np.full((chunk, c), INVALID, np.int64)
+        cand = np.full((b_pad, c), INVALID, np.int64)
         cand[:b] = np.concatenate([rows, extras[start : start + b]], axis=1)
         nodes_pad = np.concatenate(
-            [nodes, np.zeros(chunk - b, np.int32)]
+            [nodes, np.zeros(b_pad - b, np.int32)]
         ).astype(np.int32)
 
         new_rows_dev = _score_sort_prune(
@@ -688,11 +710,14 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp,
             r=cfg.r,
         )
         if graph_dev is not None:
-            rows = np.full(chunk, graph.shape[0], np.int32)  # pads drop
+            rows = np.full(b_pad, graph.shape[0], np.int32)  # pads drop
             rows[:b] = nodes
             graph_dev = graph_dev.at[jnp.asarray(rows)].set(
                 new_rows_dev, mode="drop"
             )
+        out_chunks.append((nodes, b, new_rows_dev))
+
+    for nodes, b, new_rows_dev in out_chunks:
         new_rows = np.asarray(new_rows_dev)[:b]
         graph[nodes] = new_rows  # -1-right-padded by the prune
         degrees[nodes] = (new_rows >= 0).astype(np.int32).sum(axis=1)
@@ -717,7 +742,12 @@ def _score_sort_prune(
     valid = cand != 2**31 - 1
     csafe = jnp.where(valid, cand, 0)
     pvecs = vec_dev[nodes]
-    cvecs = vec_dev[csafe]
+    if jax.default_backend() == "tpu":
+        from ..ops.gather import gather_rows
+
+        cvecs = gather_rows(vec_dev, csafe)
+    else:
+        cvecs = vec_dev[csafe]
     scores = jnp.einsum(
         "bd,bcd->bc", pvecs, cvecs, preferred_element_type=jnp.float32
     )
