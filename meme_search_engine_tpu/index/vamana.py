@@ -198,9 +198,9 @@ def _batched_greedy_search(
         neigh = graph[cur].reshape(b, expand * r)  # (B, E*R)
         valid = neigh >= 0
         neigh_safe = jnp.where(valid, neigh, 0)
-        if jax.default_backend() == "tpu":
-            from ..ops.gather import gather_rows
+        from ..ops.gather import gather_rows, use_pallas_gather
 
+        if use_pallas_gather():
             nvecs = gather_rows(vectors, neigh_safe).astype(jnp.float32)
         else:
             nvecs = vectors[neigh_safe].astype(jnp.float32)  # (B, E*R, D)
@@ -338,9 +338,9 @@ def _batched_robust_prune(
     # On TPU the (B, C, D) row gather feeding it runs through the
     # pipelined Pallas gather (ops/gather.py) instead of XLA's generic
     # gather (~39 GB/s effective).
-    if jax.default_backend() == "tpu":
-        from ..ops.gather import gather_rows
+    from ..ops.gather import gather_rows, use_pallas_gather
 
+    if use_pallas_gather():
         cvecs = gather_rows(vectors, cand_safe)  # (B, C, D)
     else:
         cvecs = vectors[cand_safe]  # (B, C, D) bf16
@@ -742,9 +742,9 @@ def _score_sort_prune(
     valid = cand != 2**31 - 1
     csafe = jnp.where(valid, cand, 0)
     pvecs = vec_dev[nodes]
-    if jax.default_backend() == "tpu":
-        from ..ops.gather import gather_rows
+    from ..ops.gather import gather_rows, use_pallas_gather
 
+    if use_pallas_gather():
         cvecs = gather_rows(vec_dev, csafe)
     else:
         cvecs = vec_dev[csafe]

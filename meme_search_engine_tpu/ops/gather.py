@@ -29,11 +29,23 @@ fast.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gather_rows"]
+__all__ = ["gather_rows", "use_pallas_gather"]
+
+
+def use_pallas_gather() -> bool:
+    """True when the build should route row gathers through the Pallas
+    kernel: TPU backend and not disabled via MSE_PALLAS_GATHER=0 (the
+    kill switch exists so a Mosaic regression can never brick the
+    build pipeline — the XLA path is always available)."""
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("MSE_PALLAS_GATHER", "1") != "0"
+    )
 
 _GROUP = 128  # rows fetched per grid step (= in_spec count)
 
