@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fcntl.h>
+#include <sys/uio.h>
 #include <functional>
 #include <mutex>
 #include <queue>
@@ -95,10 +96,74 @@ void* diskio_open(const char* path, int64_t record_size, int n_threads) {
 
 // Read n records by id into out (n * record_size bytes, caller-owned).
 // Returns the number of complete records read.
+//
+// Fast path: preadv2(RWF_NOWAIT) inline from the calling thread — a
+// page-cached record completes without any pool dispatch (measured:
+// on a 1-core host the wake/wait round-trip per beam dominated warm
+// serving). Only actual cache misses fan out to the worker pool, where
+// parallel preads hide NVMe latency (the io_uring role,
+// query_disk_index.rs:711-742).
 int64_t diskio_read_batch(void* handle, const int64_t* ids, int64_t n,
                           char* out) {
   auto* r = static_cast<Reader*>(handle);
   std::atomic<int64_t> ok{0};
+
+#if defined(__linux__) && defined(RWF_NOWAIT)
+  {
+    int64_t misses[256];
+    int64_t miss_out[256];
+    int64_t n_miss = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      struct iovec iov = {out + i * r->record_size,
+                          (size_t)r->record_size};
+      ssize_t rd = ::preadv2(r->fd, &iov, 1, ids[i] * r->record_size,
+                             RWF_NOWAIT);
+      if (rd == r->record_size) {
+        ok.fetch_add(1);
+      } else if (n_miss < 256) {
+        misses[n_miss] = ids[i];
+        miss_out[n_miss] = i;
+        ++n_miss;
+      } else {
+        // overflow (beam > 256): pool the rest below via slow path
+        misses[0] = -1;
+        n_miss = -1;
+        break;
+      }
+    }
+    if (n_miss == 0) return ok.load();
+    if (n_miss > 0) {
+      // pool only the misses
+      std::atomic<int64_t> pending{n_miss};
+      std::mutex done_mu;
+      std::condition_variable done_cv;
+      for (int64_t m = 0; m < n_miss; ++m) {
+        const int64_t id = misses[m];
+        char* dst = out + miss_out[m] * r->record_size;
+        r->pool.submit([r, id, dst, &ok, &pending, &done_mu, &done_cv] {
+          const int64_t off = id * r->record_size;
+          int64_t got = 0;
+          while (got < r->record_size) {
+            ssize_t rd =
+                ::pread(r->fd, dst + got, r->record_size - got, off + got);
+            if (rd <= 0) break;
+            got += rd;
+          }
+          if (got == r->record_size) ok.fetch_add(1);
+          if (pending.fetch_sub(1) == 1) {
+            std::lock_guard<std::mutex> lock(done_mu);
+            done_cv.notify_one();
+          }
+        });
+      }
+      std::unique_lock<std::mutex> lock(done_mu);
+      done_cv.wait(lock, [&pending] { return pending.load() == 0; });
+      return ok.load();
+    }
+    ok.store(0);  // n_miss < 0: fall through to the full pooled path
+  }
+#endif
+
   std::atomic<int64_t> pending{n};
   std::mutex done_mu;
   std::condition_variable done_cv;
