@@ -13,6 +13,9 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <fcntl.h>
 #include <sys/uio.h>
 #include <functional>
@@ -395,7 +398,8 @@ struct ParsedNode {
   int64_t id = -1;
   const uint8_t* vec_f16 = nullptr;  // LE fp16, vec_len halfwords
   int64_t vec_len = 0;
-  std::vector<int64_t> vertices;
+  int64_t vertices[512];  // fixed: no per-node heap churn (R <= 512)
+  int64_t n_vertices = 0;
 };
 
 // Record layout: u32 LE body length + msgpack map (formats.py pack()).
@@ -417,8 +421,8 @@ bool parse_record(const uint8_t* rec, int64_t record_size, ParsedNode* out) {
       out->vec_len = n / 2;
     } else if (klen == 8 && !std::memcmp(key, "vertices", 8)) {
       int64_t n = c.read_array_len();
-      if (c.fail || n < 0) return false;
-      out->vertices.resize(n);
+      if (c.fail || n < 0 || n > 512) return false;
+      out->n_vertices = n;
       for (int64_t j = 0; j < n; ++j) out->vertices[j] = c.read_int();
     } else {
       c.skip();
@@ -476,10 +480,17 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
 
   auto adc = [&](int64_t id) {
     const uint8_t* code = nav->pq_codes + id * nav->n_chunks;
-    float s = 0.f;
-    for (int64_t c = 0; c < nav->n_chunks; ++c)
-      s += lut[c * nav->n_centroids + code[c]];
-    return s;
+    const int64_t nc = nav->n_centroids;
+    float s0 = 0.f, s1 = 0.f, s2 = 0.f, s3 = 0.f;
+    int64_t c = 0;
+    for (; c + 4 <= nav->n_chunks; c += 4) {
+      s0 += lut[c * nc + code[c]];
+      s1 += lut[(c + 1) * nc + code[c + 1]];
+      s2 += lut[(c + 2) * nc + code[c + 2]];
+      s3 += lut[(c + 3) * nc + code[c + 3]];
+    }
+    for (; c < nav->n_chunks; ++c) s0 += lut[c * nc + code[c]];
+    return s0 + s1 + s2 + s3;
   };
   auto desc_dot = [&](int64_t id) {
     const uint8_t* dsc = nav->descriptors + id * nav->n_desc;
@@ -506,6 +517,9 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
 
   std::vector<FrontierEntry> visited;
   visited.reserve(search_list + beamwidth + 1);
+  std::vector<int64_t> hop_cands;
+  hop_cands.reserve(beamwidth * 512);
+  std::vector<float> hop_scores;
   std::vector<char> buf(beamwidth * rs);
   std::vector<int64_t> batch(beamwidth);
   auto by_score_desc = [](const FrontierEntry& a, const FrontierEntry& b) {
@@ -532,7 +546,27 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
       // slider reordering of final results, query_disk_index.rs:168-169)
       float exact = 0.f;
       int64_t nd = std::min(node.vec_len, nav->d);
-      for (int64_t j = 0; j < nd; ++j) {
+      int64_t j = 0;
+#if defined(__F16C__) && defined(__AVX2__)
+      {
+        __m256 acc0 = _mm256_setzero_ps(), acc1 = _mm256_setzero_ps();
+        for (; j + 16 <= nd; j += 16) {
+          __m128i h0 = _mm_loadu_si128((const __m128i*)(node.vec_f16 + 2 * j));
+          __m128i h1 =
+              _mm_loadu_si128((const __m128i*)(node.vec_f16 + 2 * j + 16));
+          acc0 = _mm256_fmadd_ps(_mm256_cvtph_ps(h0),
+                                 _mm256_loadu_ps(query + j), acc0);
+          acc1 = _mm256_fmadd_ps(_mm256_cvtph_ps(h1),
+                                 _mm256_loadu_ps(query + j + 8), acc1);
+        }
+        __m256 acc = _mm256_add_ps(acc0, acc1);
+        float tmp[8];
+        _mm256_storeu_ps(tmp, acc);
+        exact = tmp[0] + tmp[1] + tmp[2] + tmp[3] + tmp[4] + tmp[5] +
+                tmp[6] + tmp[7];
+      }
+#endif
+      for (; j < nd; ++j) {
         uint16_t h;
         std::memcpy(&h, node.vec_f16 + 2 * j, 2);
         exact += query[j] * f16[h];
@@ -540,13 +574,31 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
       if (use_desc) exact += desc_dot(node.id);
       visited.push_back({exact, node.id});
 
-      for (int64_t v : node.vertices) {
+      for (int64_t vi = 0; vi < node.n_vertices; ++vi) {
+        int64_t v = node.vertices[vi];
         if (v < 0 || v >= nav->count || test_set(v)) continue;
-        float approx = adc(v);
-        ++pq_cmps;
-        if (use_desc) approx += desc_dot(v);
-        frontier.push_back({approx, v});
+        hop_cands.push_back(v);
       }
+    }
+
+    // chunk-major batched ADC over this hop's new candidates: each
+    // 1 KB LUT row stays L1-resident across the whole candidate block
+    // (per-candidate scoring walked all 64 rows per code and thrashed)
+    if (!hop_cands.empty()) {
+      size_t hc = hop_cands.size();
+      hop_scores.assign(hc, 0.f);
+      for (int64_t c = 0; c < nav->n_chunks; ++c) {
+        const float* lrow = lut + c * nav->n_centroids;
+        for (size_t x = 0; x < hc; ++x)
+          hop_scores[x] += lrow[nav->pq_codes[hop_cands[x] * nav->n_chunks + c]];
+      }
+      pq_cmps += (int64_t)hc;
+      for (size_t x = 0; x < hc; ++x) {
+        float approx = hop_scores[x];
+        if (use_desc) approx += desc_dot(hop_cands[x]);
+        frontier.push_back({approx, hop_cands[x]});
+      }
+      hop_cands.clear();
     }
 
     if ((int64_t)frontier.size() > 2 * search_list) {
