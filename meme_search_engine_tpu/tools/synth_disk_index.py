@@ -24,6 +24,86 @@ import time
 import numpy as np
 
 
+def stream_main(args):
+    """Bounded-memory generator for N where full arrays don't fit:
+    writes records chunk-by-chunk (no pack_index list-of-lists)."""
+    from ..index.opq import ProductQuantizer
+    from ..pipeline.formats import (
+        RECORD_PAD_SIZE,
+        IndexHeader,
+        PackedIndexEntry,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    n, d = args.n, args.d
+    t0 = time.time()
+    os.makedirs(args.out, exist_ok=True)
+
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)).astype(np.float32))
+    first = rng.standard_normal((4096, d)).astype(np.float32)
+    first /= np.linalg.norm(first, axis=1, keepdims=True)
+    centroids = (first[:256] @ q.T).astype(np.float32)
+    quantizer = ProductQuantizer(
+        centroids=centroids,
+        transform=q.astype(np.float32),
+        n_dims_per_code=d // args.chunks,
+        n_dims=d,
+    )
+    shard_centroids = first[256 : 256 + args.shards]
+    shard_medioids = rng.integers(0, n, args.shards).tolist()
+
+    chunk = 32768
+    with open(os.path.join(args.out, "index.bin"), "wb") as recf, open(
+        os.path.join(args.out, "index.pq-codes.bin"), "wb"
+    ) as pqf, open(
+        os.path.join(args.out, "index.descriptor-codes.bin"), "wb"
+    ) as descf:
+        for start in range(0, n, chunk):
+            end = min(n, start + chunk)
+            b = end - start
+            vecs = rng.standard_normal((b, d)).astype(np.float32)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            codes = quantizer.quantize(vecs)
+            pqf.write(np.ascontiguousarray(codes).tobytes())
+            descf.write(rng.integers(0, 256, (b, 4), dtype=np.uint8).tobytes())
+            adj = rng.integers(0, n, (b, args.r), dtype=np.int64)
+            for i in range(b):
+                gid = start + i
+                recf.write(
+                    PackedIndexEntry(
+                        id=gid,
+                        vector=vecs[i],
+                        vertices=adj[i].tolist(),
+                        timestamp=1700000000 + gid,
+                        dimensions=(640, 480),
+                        scores=[0.0, 0.0, 0.0],
+                        url=f"https://cdn.example.com/{gid}.png",
+                        shards=[int(gid % args.shards)],
+                    ).pack(RECORD_PAD_SIZE)
+                )
+            if (start // chunk) % 16 == 0:
+                print(f"{end}/{n} records ({time.time()-t0:.0f}s)", flush=True)
+
+    header = IndexHeader(
+        shards=[
+            (list(map(float, c)), int(m))
+            for c, m in zip(shard_centroids, shard_medioids)
+        ],
+        count=n,
+        dead_count=0,
+        record_pad_size=RECORD_PAD_SIZE,
+        quantizer={
+            "centroids": quantizer.centroids.flatten().tolist(),
+            "transform": quantizer.transform.flatten().tolist(),
+            "n_dims_per_code": quantizer.n_dims_per_code,
+            "n_dims": d,
+        },
+        descriptor_cdfs=[],
+    )
+    header.save(os.path.join(args.out, "index.msgpack"))
+    print(f"done in {time.time() - t0:.0f}s -> {args.out}", flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -35,7 +115,15 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-flat", action="store_true",
                     help="also write vectors.f16 next to the index")
+    ap.add_argument("--stream", action="store_true",
+                    help="bounded-memory streaming mode (for N >= 1e7)")
     args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if args.stream:
+        return stream_main(args)
 
     import jax
 
