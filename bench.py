@@ -58,6 +58,29 @@ def main():
     tn = run(11)
     per_batch = (tn - t1) / 10  # difference out fixed sync overhead
     img_s = batch / per_batch
+
+    # text tower (the reference hot path serves both modalities,
+    # clip_server.py:91-123); reported as an extra key on the same line
+    tb = 256
+    tokens = jax.device_put(
+        rng.integers(0, cfg.vocab_size, (tb, cfg.text_len)).astype(np.int32)
+    )
+    tfn = jax.jit(lambda p, t: siglip.encode_text(p, t, cfg))
+    np.asarray(tfn(params, tokens))
+
+    def trun(iters: int) -> float:
+        t0 = time.perf_counter()
+        out = tfn(params, tokens)
+        for _ in range(iters - 1):
+            out = tfn(params, tokens)
+        float(out[0, 0])
+        return time.perf_counter() - t0
+
+    trun(1)
+    tt1 = min(trun(1) for _ in range(2))
+    ttn = trun(11)
+    txt_s = tb / ((ttn - tt1) / 10)
+
     print(
         json.dumps(
             {
@@ -65,6 +88,7 @@ def main():
                 "value": round(img_s, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
+                "texts_per_sec": round(txt_s, 1),
             }
         )
     )
