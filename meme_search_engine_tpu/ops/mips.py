@@ -11,8 +11,8 @@ tensors never round-trip through HBM.
 (upcast -> matmul -> top-k -> merge with running top-k). XLA pipelines
 the HBM tile reads against the MXU; the running (B, k) state stays in
 registers/VMEM. At 1e5x1152 it runs at HBM-bandwidth roofline, which is
-the speed-of-light for this op — a hand-scheduled Pallas variant was
-evaluated and rejected because the XLA schedule already saturates HBM.
+the speed-of-light for this op (measured 31k QPS at 1e5/k=20,
+BENCHMARKS.md), so a hand-scheduled kernel has no headroom here.
 
 Scores are fp32 inner products (the reference orders by i64 fixed-point
 f32*2^32, vector.rs:45-47 — a total-order trick, not extra precision;

@@ -1,5 +1,6 @@
 """CLI tool smoke tests (small scales, no network)."""
 
+import os
 import json
 import sys
 
@@ -79,3 +80,82 @@ def test_dump_tool_stats(tmp_path, capsys):
     )
     sample = np.fromfile(str(tmp_path / "s.bin"), np.float16).reshape(-1, 16)
     assert len(sample) == 5
+
+
+def test_dockerfile_daemonless_validation():
+    """No docker daemon exists in CI, so validate the image recipe
+    statically: every COPY source exists, the entrypoint parses
+    (bash -n), nginx.conf is present, and the pip-install line covers
+    every third-party top-level import actually used by the package
+    (the failure mode a real build would hit at runtime)."""
+    import re
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docker = os.path.join(root, "docker")
+    df = open(os.path.join(docker, "Dockerfile")).read()
+
+    for m in re.finditer(r"^COPY\s+(\S+)\s+\S+", df, re.M):
+        src = m.group(1)
+        if src.startswith("docker/"):
+            assert os.path.exists(os.path.join(root, src)), src
+        else:
+            assert os.path.exists(os.path.join(root, src.rstrip("/"))), src
+
+    assert (
+        subprocess.run(
+            ["bash", "-n", os.path.join(docker, "entrypoint.sh")]
+        ).returncode
+        == 0
+    )
+    assert os.path.exists(os.path.join(docker, "nginx.conf"))
+
+    # third-party imports used by the package vs the pip line
+    pip_line = re.search(r"pip install[^\\]*\\\n(.*?)\n\nWORKDIR", df, re.S)
+    assert pip_line, "pip install block not found"
+    pip_pkgs = re.sub(r"[\"\\]", " ", pip_line.group(0))
+    alias = {
+        "cv2": "opencv-python-headless", "PIL": "pillow",
+        "prometheus_client": "prometheus-client", "zstandard": "zstandard",
+        "jax": "jax", "jaxlib": "jax", "msgpack": "msgpack",
+        "numpy": "numpy", "aiohttp": "aiohttp", "optax": "optax",
+        "flax": "flax", "safetensors": "safetensors",
+        "tokenizers": "tokenizers",
+    }
+    stdlib_or_optional = {
+        "orbax",  # checkpointing, optional at serve time (guarded import)
+        "transformers",  # only for HF checkpoint conversion tooling
+        "torch",  # only in test oracles
+        "pytest",
+        "faiss",  # optional comparison baseline (guarded import)
+        "pyarrow",  # optional parquet reader (guarded import)
+        "jax",  # installed via the JAX_EXTRA build arg
+        "jaxlib",
+    }
+    pkg = os.path.join(root, "meme_search_engine_tpu")
+    imports = set()
+    for dirpath, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            for line in open(os.path.join(dirpath, f)):
+                m = re.match(
+                    r"\s*(?:import\s+([a-zA-Z_0-9]+)"
+                    r"|from\s+([a-zA-Z_0-9]+)[.\w]*\s+import\s)", line
+                )
+                if m:
+                    imports.add(m.group(1) or m.group(2))
+    import sys
+
+    missing = []
+    for name in sorted(imports):
+        if name in sys.stdlib_module_names or name in (
+            "meme_search_engine_tpu",
+        ):
+            continue
+        if name in stdlib_or_optional:
+            continue
+        pipname = alias.get(name, name)
+        if pipname not in pip_pkgs:
+            missing.append(name)
+    assert not missing, f"imports not covered by Dockerfile pip line: {missing}"
