@@ -38,13 +38,17 @@ __all__ = ["gather_rows", "use_pallas_gather"]
 
 
 def use_pallas_gather() -> bool:
-    """True when the build should route row gathers through the Pallas
-    kernel: TPU backend and not disabled via MSE_PALLAS_GATHER=0 (the
-    kill switch exists so a Mosaic regression can never brick the
-    build pipeline — the XLA path is always available)."""
+    """Opt-in (MSE_PALLAS_GATHER=1): measured on v5e, this kernel LOSES
+    to XLA's generic gather at the build's hop shape — 7.38 ms vs
+    2.96 ms for (512, 128) rows of 1152 bf16 (20 vs 51 GB/s effective)
+    — because the pipeline pays per-block overhead on every single-row
+    block, and the scalar-prefetch idx array exceeds the 1 MB SMEM at
+    the prune shape (512 x 750). Kept as the documented negative
+    result + a base for a future manual-DMA variant; the hot path uses
+    XLA gathers."""
     return (
         jax.default_backend() == "tpu"
-        and os.environ.get("MSE_PALLAS_GATHER", "1") != "0"
+        and os.environ.get("MSE_PALLAS_GATHER", "0") == "1"
     )
 
 _GROUP = 128  # rows fetched per grid step (= in_spec count)
