@@ -42,6 +42,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# overflow-bucket occupancy counters (diagnostic; read by the
+# MSE_BUILD_PROFILE print in build_graph)
+_OVF_STATS = {"narrow": 0, "wide": 0}
+
 __all__ = ["VamanaConfig", "build_graph", "medioid", "random_fill", "robust_stitch", "search"]
 
 
@@ -629,7 +633,9 @@ def build_graph(
             )
 
     if _prof:
+        _tot.update(_OVF_STATS)
         print("build profile:", {k: round(v, 1) for k, v in _tot.items()})
+        _OVF_STATS.update(narrow=0, wide=0)
     # device-mirror invariant (cheap at test scale; skipped for huge
     # builds where the download would cost more than it protects — the
     # host graph is the source of truth either way)
@@ -670,52 +676,64 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp,
     extras = np.full((len(all_nodes), 64), INVALID, np.int64)
     keep = pos < 64
     extras[gidx[keep], pos[keep]] = src[keep]
+    n_extras = np.bincount(gidx[keep], minlength=len(all_nodes))
 
-    # fixed candidate width; batch size padded to a power-of-two bucket
-    # (>=1024, <=8192) so the jitted prune compiles a handful of times
-    # per build. Chunking at 1024 with a per-chunk host download cost a
-    # tunnel round-trip PER CHUNK (the measured 'overflow' phase was
-    # ~30% of the whole 20k build); one padded dispatch + ONE download
-    # per round removes all but one round-trip, and the Pallas fused
-    # gathers keep the memory footprint (B, C, C), never (B, C, D).
-    c = cfg.r + 64
+    # Candidate width is bucketed: nearly every overflow target receives
+    # only a handful of new back-edges per round, so most nodes prune at
+    # width r+8 (the (B,C,D) gather and the (B,C,C) pairwise prune both
+    # scale with C — at r=64 the narrow bucket is 1.8x/3.2x smaller);
+    # the rare hub nodes use the full r+64 shape. Batch size pads to a
+    # power-of-two bucket (>=1024, <=8192) so the jitted prune compiles
+    # a handful of times per build. Chunking at 1024 with a per-chunk
+    # host download cost a tunnel round-trip PER CHUNK (the measured
+    # 'overflow' phase was ~30% of the whole 20k build); one padded
+    # dispatch + ONE download per round removes all but one round-trip.
     max_chunk = 8192
     out_chunks = []
-
-    for start in range(0, len(all_nodes), max_chunk):
-        nodes = all_nodes[start : start + max_chunk]
-        b = len(nodes)
-        b_pad = max(1024, 1 << (b - 1).bit_length())
-        rows = graph[nodes].astype(np.int64)
-        rows[rows < 0] = INVALID
-        cand = np.full((b_pad, c), INVALID, np.int64)
-        cand[:b] = np.concatenate([rows, extras[start : start + b]], axis=1)
-        nodes_pad = np.concatenate(
-            [nodes, np.zeros(b_pad - b, np.int32)]
-        ).astype(np.int32)
-
-        new_rows_dev = _score_sort_prune(
-            vec_dev,
-            jnp.asarray(nodes_pad),
-            jnp.asarray(cand, jnp.int32),
-            jnp.float32(cfg.alpha),
-            jnp.float32(cfg.query_alpha),
-            bp,
-            jnp.asarray(
-                np.logical_or(
-                    cfg.saturate_graph,
-                    nodes_pad >= cfg.query_breakpoint,
-                )
-            ),
-            r=cfg.r,
-        )
-        if graph_dev is not None:
-            rows = np.full(b_pad, graph.shape[0], np.int32)  # pads drop
-            rows[:b] = nodes
-            graph_dev = graph_dev.at[jnp.asarray(rows)].set(
-                new_rows_dev, mode="drop"
+    small = n_extras <= 8
+    _OVF_STATS["narrow"] += int(small.sum())
+    _OVF_STATS["wide"] += int((~small).sum())
+    for ewidth, sel in ((8, np.flatnonzero(small)),
+                        (64, np.flatnonzero(~small))):
+        c = cfg.r + ewidth
+        for start in range(0, len(sel), max_chunk):
+            take = sel[start : start + max_chunk]
+            nodes = all_nodes[take]
+            b = len(nodes)
+            b_min = 256 if ewidth == 64 else 1024
+            b_pad = max(b_min, 1 << (b - 1).bit_length())
+            rows = graph[nodes].astype(np.int64)
+            rows[rows < 0] = INVALID
+            cand = np.full((b_pad, c), INVALID, np.int64)
+            cand[:b] = np.concatenate(
+                [rows, extras[take, :ewidth]], axis=1
             )
-        out_chunks.append((nodes, b, new_rows_dev))
+            nodes_pad = np.concatenate(
+                [nodes, np.zeros(b_pad - b, np.int32)]
+            ).astype(np.int32)
+
+            new_rows_dev = _score_sort_prune(
+                vec_dev,
+                jnp.asarray(nodes_pad),
+                jnp.asarray(cand, jnp.int32),
+                jnp.float32(cfg.alpha),
+                jnp.float32(cfg.query_alpha),
+                bp,
+                jnp.asarray(
+                    np.logical_or(
+                        cfg.saturate_graph,
+                        nodes_pad >= cfg.query_breakpoint,
+                    )
+                ),
+                r=cfg.r,
+            )
+            if graph_dev is not None:
+                rows = np.full(b_pad, graph.shape[0], np.int32)  # pads drop
+                rows[:b] = nodes
+                graph_dev = graph_dev.at[jnp.asarray(rows)].set(
+                    new_rows_dev, mode="drop"
+                )
+            out_chunks.append((nodes, b, new_rows_dev))
 
     for nodes, b, new_rows_dev in out_chunks:
         new_rows = np.asarray(new_rows_dev)[:b]

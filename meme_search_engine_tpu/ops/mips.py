@@ -28,7 +28,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mips_topk", "exact_scores"]
+__all__ = ["mips_topk", "exact_scores", "streamed_mips_topk"]
 
 
 def exact_scores(corpus: jax.Array, queries: jax.Array) -> jax.Array:
@@ -105,6 +105,50 @@ def mips_topk(
         step, init, (tiles, jnp.arange(n_tiles))
     )
     return scores, indices.astype(jnp.int32)
+
+
+def streamed_mips_topk(corpus_iter, queries, k, *, tile: int = 16384):
+    """Exact top-k when the corpus exceeds device HBM.
+
+    Streams host-resident corpus slabs through the device once (slab
+    upload -> :func:`mips_topk` over the resident slab -> host merge),
+    with ALL queries scored against each slab before the next upload —
+    so a 1e7x1152 fp16 corpus (23 GB, vs 16 GB HBM on one v5e) costs one
+    pass of host->device transfer total, not one per query chunk. Used
+    by the disk-index eval oracle at N >= 1e7
+    (query_disk_index.rs:225-343 computes the same ground truth by
+    scanning all records on the host).
+
+    Args:
+      corpus_iter: iterable of (slab, base_row) where slab is a host
+        (M, D) array (fp16 ok) and base_row its global row offset.
+      queries: (B, D) host fp32 queries.
+      k: results per query.
+      tile: scan tile within each resident slab.
+
+    Returns:
+      (scores, indices) host arrays, each (B, k), globally exact.
+    """
+    import numpy as np
+
+    qdev = jnp.asarray(np.asarray(queries, np.float32))
+    b = qdev.shape[0]
+    best_s = np.full((b, k), -np.inf, np.float32)
+    best_i = np.zeros((b, k), np.int64)
+    for slab, base in corpus_iter:
+        sdev = jnp.asarray(slab)
+        s, i = mips_topk(sdev, qdev, k, tile=min(tile, slab.shape[0]))
+        s = np.asarray(s)
+        i = np.asarray(i).astype(np.int64) + int(base)
+        ms = np.concatenate([best_s, s], axis=1)
+        mi = np.concatenate([best_i, i], axis=1)
+        sel = np.argsort(-ms, axis=1, kind="stable")[:, :k]
+        best_s = np.take_along_axis(ms, sel, axis=1)
+        best_i = np.take_along_axis(mi, sel, axis=1)
+        # free the slab before the next upload (HBM holds one slab +
+        # the running (B, k) state only)
+        sdev.delete()
+    return best_s, best_i
 
 
 def dedup_matches(

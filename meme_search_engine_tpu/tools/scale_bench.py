@@ -299,20 +299,33 @@ def main(argv=None):
         # flat fp16 corpus (query_disk_index.rs:225-343 eval semantics)
         import jax.numpy as jnp
 
-        from ..ops.mips import mips_topk
+        from ..ops.mips import mips_topk, streamed_mips_topk
 
         t0 = time.time()
         eval_q = qs[: args.eval_queries]
         corpus = np.fromfile(flat_path, np.float16).reshape(n_total, D_EMB)
-        corpus_dev = jnp.asarray(corpus)  # upload once (tunnel is slow)
-        gt_i = []
-        for start in range(0, len(eval_q), 64):
-            _s, i = mips_topk(
-                corpus_dev, jnp.asarray(eval_q[start : start + 64]),
-                1000, tile=min(n_total, 262_144),
+        if n_total <= 3_000_000:
+            corpus_dev = jnp.asarray(corpus)  # upload once (tunnel is slow)
+            gt_i = []
+            for start in range(0, len(eval_q), 64):
+                _s, i = mips_topk(
+                    corpus_dev, jnp.asarray(eval_q[start : start + 64]),
+                    1000, tile=min(n_total, 262_144),
+                )
+                gt_i.append(np.asarray(i))
+            gt_i = np.concatenate(gt_i)
+        else:
+            # corpus exceeds HBM: stream 1e6-row slabs through the
+            # device once, all queries per slab (ops/mips.py)
+            slab = 1_000_000
+
+            def slabs():
+                for s0 in range(0, n_total, slab):
+                    yield corpus[s0 : s0 + slab], s0
+
+            _s, gt_i = streamed_mips_topk(
+                slabs(), eval_q, 1000, tile=262_144
             )
-            gt_i.append(np.asarray(i))
-        gt_i = np.concatenate(gt_i)
         hits, ranks = 0, []
         for qi, q in enumerate(eval_q):
             # eval mode: no near-duplicate dedup (the reference's

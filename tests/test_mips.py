@@ -95,3 +95,22 @@ def test_dedup_matches_greedy_chain():
     embs = jnp.asarray(np.stack([a, b, c]))
     keep = np.asarray(dedup_matches(embs, jnp.asarray([3.0, 2.0, 1.0]), 0.95))
     assert keep.tolist() == [True, False, True]
+
+
+def test_streamed_mips_topk_matches_resident(corpus_1k):
+    """Host-slab streaming (the >HBM eval path) is globally exact: same
+    ids as a single resident-corpus top-k, across slab boundaries."""
+    from meme_search_engine_tpu.ops.mips import streamed_mips_topk
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((5, 128)).astype(np.float32)
+    _, ref_i = mips_topk(jnp.asarray(corpus_1k), jnp.asarray(q), 20, tile=256)
+
+    def slabs():
+        for s0 in range(0, 1000, 300):  # uneven final slab
+            yield corpus_1k[s0 : s0 + 300], s0
+
+    s, i = streamed_mips_topk(slabs(), q, 20, tile=128)
+    for b in range(5):
+        assert set(i[b].tolist()) == set(np.asarray(ref_i)[b].tolist())
+    assert np.all(np.diff(s, axis=1) <= 1e-6)
