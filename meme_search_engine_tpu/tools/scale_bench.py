@@ -136,6 +136,17 @@ def main(argv=None):
     os.makedirs(wd, exist_ok=True)
     report = {"n": args.n, "clusters": args.clusters, "stages_s": {}}
     report_path = os.path.join(wd, "report.json")
+    if os.path.exists(report_path):
+        # resumed run: keep stage timings recorded by prior invocations
+        with open(report_path) as f:
+            prior = json.load(f)
+        if prior.get("n") == args.n:
+            report["stages_s"].update(prior.get("stages_s", {}))
+
+    def checkpoint_report():
+        with open(report_path + ".tmp", "w") as f:
+            json.dump(report, f, indent=1)
+        os.replace(report_path + ".tmp", report_path)
 
     dump_path = _stage_dump(wd, args.n)
 
@@ -152,6 +163,7 @@ def main(argv=None):
         )
         np.save(cent_path, centroids)
         report["stages_s"]["kmeans"] = round(time.time() - t0, 1)
+        checkpoint_report()
         log(f"kmeans: {report['stages_s']['kmeans']}s")
     centroids = np.load(cent_path)
 
@@ -165,6 +177,7 @@ def main(argv=None):
         )
         np.save(manifest_path, np.asarray(manifest, object), allow_pickle=True)
         report["stages_s"]["shard_split"] = round(time.time() - t0, 1)
+        checkpoint_report()
         log(
             f"shard split: {count} records, "
             f"{report['stages_s']['shard_split']}s"
@@ -202,9 +215,13 @@ def main(argv=None):
             os.rename(out_path + ".tmp", out_path)
             built += 1
             log(f"shard {s} built in {time.time() - ts:.0f}s")
+            report["shards_built"] = built
+            report["shard_build_s_last"] = round(time.time() - ts, 1)
+            checkpoint_report()
         shard_outputs.append(read_shard_output(out_path))
     if built:
         report["stages_s"]["shard_builds"] = round(time.time() - t0, 1)
+        checkpoint_report()
         log(f"shard builds: {report['stages_s']['shard_builds']}s")
 
     # --- OPQ + pack ---------------------------------------------------------
@@ -230,6 +247,7 @@ def main(argv=None):
             adam_iters=120,
         )
         report["stages_s"]["opq_train"] = round(time.time() - t0, 1)
+        checkpoint_report()
         log(f"opq: {report['stages_s']['opq_train']}s")
 
         t0 = time.time()
@@ -251,6 +269,7 @@ def main(argv=None):
             descriptor_cdfs=cdfs,
         )
         report["stages_s"]["pack"] = round(time.time() - t0, 1)
+        checkpoint_report()
         log(f"pack: {report['stages_s']['pack']}s")
         # flat fp16 copy for the eval oracle (reading 4096-B records for
         # the whole corpus costs hours at 1e6; the TPU MIPS scan doesn't)
@@ -352,8 +371,7 @@ def main(argv=None):
         report["stages_s"]["eval"] = round(time.time() - t0, 1)
         log(f"eval: {report['eval']}")
 
-    with open(report_path, "w") as f:
-        json.dump(report, f, indent=1)
+    checkpoint_report()
     print(json.dumps(report))
 
 
