@@ -365,7 +365,7 @@ class DiskIndex:
         sweep alone measured 643.9 s; at 1e7+ it is unusable."""
         import jax.numpy as jnp
 
-        from ..ops.mips import mips_topk
+        from ..ops.mips import mips_topk, streamed_mips_topk
 
         n = self.header.count
         if corpus is not None:
@@ -379,10 +379,19 @@ class DiskIndex:
                     all_vecs[node.id] = node.vector.astype(np.float16)
 
         qs = np.atleast_2d(np.asarray(queries, np.float32))
-        _scores, oracle = mips_topk(
-            jnp.asarray(all_vecs), jnp.asarray(qs), k
-        )
-        oracle = np.asarray(oracle)
+        if n <= 3_000_000:
+            _scores, oracle = mips_topk(
+                jnp.asarray(all_vecs), jnp.asarray(qs), k
+            )
+            oracle = np.asarray(oracle)
+        else:
+            # corpus exceeds device HBM at this scale: stream slabs
+            # through the device once (ops/mips.py)
+            _scores, oracle = streamed_mips_topk(
+                ((all_vecs[s0 : s0 + 1_000_000], s0)
+                 for s0 in range(0, n, 1_000_000)),
+                qs, k,
+            )
 
         recalls, ranks, cmps, reads = [], [], [], []
         for b in range(len(qs)):

@@ -397,7 +397,15 @@ def test_scale_bench_tool_end_to_end(tmp_path, monkeypatch):
     ) == {1, 2, 4}
     assert report["eval"]["recall_at_20"] > 0.3
     assert report["eval"]["median_rank"] <= 20
-    # resumability: a second invocation reuses every artifact
+    # resumability: a second invocation reuses every artifact (graphs
+    # untouched on disk) and inherits the first run's stage timings
+    first_builds_s = report["stages_s"]["shard_builds"]
+    graph_mtimes = {
+        p: os.path.getmtime(os.path.join(wd, "shards", p))
+        for p in os.listdir(os.path.join(wd, "shards"))
+        if p.endswith(".graph")
+    }
+    assert graph_mtimes
     scale_bench.main([
         "--workdir", wd, "--n", "400", "--clusters", "3",
         "--r", "8", "--l", "16", "--maxc", "32", "--build-batch", "128",
@@ -405,7 +413,11 @@ def test_scale_bench_tool_end_to_end(tmp_path, monkeypatch):
         "--search-list", "64", "--beamwidth", "2",
         "--pq-chunks", "8", "--pq-centroids", "16", "--ood-queries", "16",
     ])
-    assert "shard_builds" not in json.load(open(f"{wd}/report.json"))["stages_s"]
+    report2 = json.load(open(f"{wd}/report.json"))
+    assert report2["stages_s"]["shard_builds"] == first_builds_s
+    assert "shards_built" not in report2  # nothing rebuilt
+    for p, mt in graph_mtimes.items():
+        assert os.path.getmtime(os.path.join(wd, "shards", p)) == mt
 
 
 def test_native_beam_search_matches_python(built_index):
