@@ -148,10 +148,18 @@ def main(argv=None):
             json.dump(report, f, indent=1)
         os.replace(report_path + ".tmp", report_path)
 
-    dump_path = _stage_dump(wd, args.n)
+    # the dump is only an input to kmeans + shard split; once both
+    # artifacts exist it can be deleted to free disk without forcing a
+    # resumed run to regenerate it
+    cent_path = os.path.join(wd, "centroids.npy")
+    if os.path.exists(cent_path) and os.path.exists(
+        os.path.join(wd, "manifest.npy")
+    ):
+        dump_path = os.path.join(wd, "000000001.dump.zst")
+    else:
+        dump_path = _stage_dump(wd, args.n)
 
     # --- kmeans centroids on a sample -------------------------------------
-    cent_path = os.path.join(wd, "centroids.npy")
     if not os.path.exists(cent_path):
         t0 = time.time()
         sample = processor.sample_embeddings(
