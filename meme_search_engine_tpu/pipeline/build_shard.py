@@ -40,6 +40,7 @@ def build_shard(
     build_expand: int = 2,
     corpus_dtype: str = "bf16",
     seed: int = 0,
+    pad_to: int = 0,
     verbose: bool = False,
 ) -> ShardHeader:
     header_in, records = read_shard_input(input_path)
@@ -53,6 +54,26 @@ def build_shard(
         )
     else:
         vectors = base
+
+    if pad_to:
+        # Round the total node count up to a multiple of pad_to with
+        # extra random OOD query vectors. The jitted build kernels are
+        # shaped by the corpus size, so a many-shard run (420 shards at
+        # 1e7, each a slightly different size) would otherwise recompile
+        # per shard; bucketing the size bounds compiles to the handful
+        # of distinct buckets. Pad vectors ride the existing OOD
+        # machinery (>= query_breakpoint: never returned for base
+        # searches, pruned with query_alpha, and their in-edges are
+        # removed by RobustStitch), so the emitted base adjacency is
+        # unaffected beyond normal OOD-query side effects.
+        short = -len(vectors) % pad_to
+        if short:
+            prng = np.random.default_rng(seed ^ 0x5EED)
+            pad = prng.standard_normal((short, vectors.shape[1])).astype(
+                np.float32
+            )
+            pad /= np.linalg.norm(pad, axis=1, keepdims=True)
+            vectors = np.concatenate([vectors, pad])
 
     cfg = vamana.VamanaConfig(
         r=r,

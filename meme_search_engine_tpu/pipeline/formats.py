@@ -54,6 +54,13 @@ class PackedIndexEntry:
     shards: List[int]
 
     def pack(self, pad_size: int = RECORD_PAD_SIZE) -> bytes:
+        return self.pack_ex(pad_size)[0]
+
+    def pack_ex(self, pad_size: int = RECORD_PAD_SIZE) -> Tuple[bytes, bool]:
+        """-> (record bytes, dead) where dead means the URL was dropped
+        to fit the pad size (dump_processor.rs:510-517). Returning the
+        flag avoids an unpack round-trip per record at pack time (the
+        1e7 pack writes 1e7 records on one core)."""
         body = {
             "id": self.id,
             "vector": encode_fp16_buffer(self.vector),
@@ -65,15 +72,20 @@ class PackedIndexEntry:
             "shards": [int(s) for s in self.shards],
         }
         raw = msgpack.packb(body)
+        dead = False
         if len(raw) + 4 > pad_size:
             # oversize: keep graph role, drop the payload URL ("dead",
             # dump_processor.rs:510-517)
             body["url"] = ""
             raw = msgpack.packb(body)
+            dead = bool(self.url)
             if len(raw) + 4 > pad_size:
                 raise ValueError("record exceeds pad size even without URL")
-        return struct.pack("<I", len(raw)) + raw + b"\0" * (
-            pad_size - 4 - len(raw)
+        return (
+            struct.pack("<I", len(raw))
+            + raw
+            + b"\0" * (pad_size - 4 - len(raw)),
+            dead,
         )
 
     @classmethod

@@ -288,9 +288,8 @@ def pack_index(
                     url=m["url"],
                     shards=node_shards[i],
                 )
-                packed = entry.pack(RECORD_PAD_SIZE)
-                if PackedIndexEntry.unpack(packed).url == "" and m["url"]:
-                    dead += 1
+                packed, is_dead = entry.pack_ex(RECORD_PAD_SIZE)
+                dead += is_dead
                 recf.write(packed)
 
     header = IndexHeader(

@@ -50,15 +50,21 @@ def _hier_centers(n):
 
 
 def _hier_points(fines, c, rng):
+    # dtype=float32 generation: drawing f64 then casting measured ~10x
+    # slower on this host (the 1e7 corpus is 1.15e10 normal draws)
     x = fines[c] + NOISE_SCALE * rng.standard_normal(
-        (len(c), D_EMB)
-    ).astype(np.float32)
+        (len(c), D_EMB), dtype=np.float32
+    )
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     return x
 
 
-def _stage_dump(wd, n, seed=0):
-    """Synthetic hierarchical corpus as a real zstd dump (fp16 wire)."""
+def _stage_dump(wd, n, seed=0, sample_target=200_000):
+    """Synthetic hierarchical corpus as a real zstd dump (fp16 wire).
+
+    Also reservoir-writes a kmeans sample (sample.npy) alongside, so the
+    kmeans stage doesn't need a second full decode pass over the dump.
+    """
     from ..pipeline.dump import (
         DumpWriter,
         OriginalImageMetadata,
@@ -70,6 +76,9 @@ def _stage_dump(wd, n, seed=0):
         return path
     t0 = time.time()
     rng = np.random.default_rng(seed)
+    srng = np.random.default_rng(seed + 1)
+    sample_p = min(1.0, sample_target / n)
+    samples = []
     _supers, fines = _hier_centers(n)
     n_clusters = len(fines)
     with DumpWriter(path + ".tmp") as w:
@@ -78,6 +87,9 @@ def _stage_dump(wd, n, seed=0):
             m = min(chunk, n - start)
             c = rng.integers(0, n_clusters, m)
             x = _hier_points(fines, c, rng)
+            keep = srng.random(m) < sample_p
+            if keep.any():
+                samples.append(x[keep].astype(np.float16))
             for j in range(m):
                 i = start + j
                 w.write(
@@ -99,6 +111,7 @@ def _stage_dump(wd, n, seed=0):
                 )
             if start % (chunk * 16) == 0:
                 log(f"dump {start + m}/{n}")
+    np.save(os.path.join(wd, "sample.npy"), np.concatenate(samples))
     os.rename(path + ".tmp", path)
     log(f"dump stage: {time.time() - t0:.0f}s")
     return path
@@ -122,6 +135,21 @@ def main(argv=None):
     ap.add_argument("--pq-chunks", type=int, default=64)
     ap.add_argument("--pq-centroids", type=int, default=256)
     ap.add_argument("--ood-queries", type=int, default=1024)
+    ap.add_argument(
+        "--pad-to",
+        type=int,
+        default=0,
+        help="round each shard's node count up to a multiple of this "
+        "with extra OOD pad queries, bounding per-shard-size XLA "
+        "recompiles (use e.g. 4096 for many-shard runs)",
+    )
+    ap.add_argument(
+        "--frugal-disk",
+        action="store_true",
+        help="delete the dump once kmeans+split artifacts exist and the "
+        "shard inputs once vectors.f16 is written (1e7 needs ~140 GB "
+        "otherwise; every deletion keeps the run resumable)",
+    )
     args = ap.parse_args(argv)
 
     from ..index.disk_index import DiskIndex
@@ -156,15 +184,22 @@ def main(argv=None):
         os.path.join(wd, "manifest.npy")
     ):
         dump_path = os.path.join(wd, "000000001.dump.zst")
+        if args.frugal_disk and os.path.exists(dump_path):
+            log("frugal-disk: dump no longer needed, deleting")
+            os.remove(dump_path)
     else:
         dump_path = _stage_dump(wd, args.n)
 
     # --- kmeans centroids on a sample -------------------------------------
     if not os.path.exists(cent_path):
         t0 = time.time()
-        sample = processor.sample_embeddings(
-            [dump_path], min(1.0, 200_000 / args.n), seed=0
-        )
+        sample_path = os.path.join(wd, "sample.npy")
+        if os.path.exists(sample_path):
+            sample = np.load(sample_path)  # written by _stage_dump
+        else:
+            sample = processor.sample_embeddings(
+                [dump_path], min(1.0, 200_000 / args.n), seed=0
+            )
         log(f"kmeans over sample {sample.shape}")
         centroids = balanced_kmeans(
             sample.astype(np.float32), args.clusters, max_iter=120, seed=0
@@ -190,6 +225,9 @@ def main(argv=None):
             f"shard split: {count} records, "
             f"{report['stages_s']['shard_split']}s"
         )
+        if args.frugal_disk and os.path.exists(dump_path):
+            log("frugal-disk: dump no longer needed, deleting")
+            os.remove(dump_path)
     manifest = list(np.load(manifest_path, allow_pickle=True))
     n_total = len(manifest)
 
@@ -219,6 +257,7 @@ def main(argv=None):
                 batch_size=args.build_batch,
                 build_expand=args.build_expand,
                 seed=s,
+                pad_to=args.pad_to,
             )
             os.rename(out_path + ".tmp", out_path)
             built += 1
@@ -233,21 +272,45 @@ def main(argv=None):
         log(f"shard builds: {report['stages_s']['shard_builds']}s")
 
     # --- OPQ + pack ---------------------------------------------------------
+    # The flat fp16 corpus (global-id order) is written FIRST: it serves
+    # the eval oracle, lets the pack stage resume without the 2e7-record
+    # shard inputs, and with --frugal-disk frees their ~50 GB before the
+    # ~41 GB index.bin is written. fp16 collection is lossless — shard
+    # inputs store fp16 on the wire (ShardedRecord, common.rs:131-137).
     out_dir = os.path.join(wd, "index")
+    flat_path = os.path.join(wd, "vectors.f16")
     if not os.path.exists(os.path.join(out_dir, "index.msgpack")):
+        if not os.path.exists(flat_path):
+            t0 = time.time()
+            log("collecting vectors for OPQ/pack")
+            vectors = np.zeros((n_total, D_EMB), np.float16)
+            for s in range(args.clusters):
+                in_path = os.path.join(shard_dir, f"shard_{s}.msgpack")
+                if not os.path.exists(in_path):
+                    continue
+                _h, records = read_shard_input(in_path)
+                for rid, vec in records:
+                    vectors[rid] = vec
+            vectors.tofile(flat_path + ".tmp")
+            os.rename(flat_path + ".tmp", flat_path)
+            report["stages_s"]["collect_vectors"] = round(time.time() - t0, 1)
+            checkpoint_report()
+            log(f"collect: {report['stages_s']['collect_vectors']}s")
+        else:
+            vectors = np.memmap(
+                flat_path, np.float16, "r", shape=(n_total, D_EMB)
+            )
+        if args.frugal_disk:
+            for s in range(args.clusters):
+                in_path = os.path.join(shard_dir, f"shard_{s}.msgpack")
+                if os.path.exists(in_path):
+                    os.remove(in_path)
+            log("frugal-disk: shard inputs deleted (vectors.f16 has them)")
+
         t0 = time.time()
-        log("collecting vectors for OPQ/pack")
-        vectors = np.zeros((n_total, D_EMB), np.float32)
-        for s in range(args.clusters):
-            in_path = os.path.join(shard_dir, f"shard_{s}.msgpack")
-            if not os.path.exists(in_path):
-                continue
-            _h, records = read_shard_input(in_path)
-            for rid, vec in records:
-                vectors[rid] = vec
-        sample_idx = rng.permutation(n_total)[: min(n_total, 100_000)]
+        sample_idx = np.sort(rng.permutation(n_total)[: min(n_total, 100_000)])
         pq = train_opq(
-            vectors[sample_idx],
+            np.asarray(vectors[sample_idx], np.float32),
             queries,
             n_chunks=args.pq_chunks,
             n_centroids=args.pq_centroids,
@@ -279,9 +342,6 @@ def main(argv=None):
         report["stages_s"]["pack"] = round(time.time() - t0, 1)
         checkpoint_report()
         log(f"pack: {report['stages_s']['pack']}s")
-        # flat fp16 copy for the eval oracle (reading 4096-B records for
-        # the whole corpus costs hours at 1e6; the TPU MIPS scan doesn't)
-        vectors.astype(np.float16).tofile(os.path.join(wd, "vectors.f16"))
         del vectors
 
     # --- serve-path measurements --------------------------------------------
@@ -320,7 +380,6 @@ def main(argv=None):
         report["qps_vs_threads"][threads] = round(qps, 1)
         log(f"threads={threads}: {qps:.1f} QPS")
 
-    flat_path = os.path.join(wd, "vectors.f16")
     if not args.skip_eval and os.path.exists(flat_path):
         # recall@20 + rank stats vs the TPU brute-force oracle over the
         # flat fp16 corpus (query_disk_index.rs:225-343 eval semantics)
@@ -330,7 +389,9 @@ def main(argv=None):
 
         t0 = time.time()
         eval_q = qs[: args.eval_queries]
-        corpus = np.fromfile(flat_path, np.float16).reshape(n_total, D_EMB)
+        # memmap: the streamed path reads 1e6-row slabs sequentially, no
+        # need to hold the 23 GB corpus in RAM next to the page cache
+        corpus = np.memmap(flat_path, np.float16, "r", shape=(n_total, D_EMB))
         if n_total <= 3_000_000:
             corpus_dev = jnp.asarray(corpus)  # upload once (tunnel is slow)
             gt_i = []
