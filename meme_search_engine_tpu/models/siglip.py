@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -354,10 +355,19 @@ def _encoder_fat(
     dh = d // num_heads
     c = fat_width(dh)
 
-    def step(h, blk):
-        (wq, bq), (wk, bk), (wv, bv) = _fat_qkv_weights(
-            blk["attn"], num_heads, dh
-        )
+    # Assemble every layer's fat QKV projection in one vectorised pass
+    # BEFORE the scan. Inside the scan the assembly inputs are per-step
+    # xs slices, so XLA cannot hoist the pad/reshape/concat chain — it
+    # would re-materialise ~26 MB of weight layout per layer per
+    # forward. Here it is a single fused (depth, ...) transform.
+    (wq, bq), (wk, bk), (wv, bv) = jax.vmap(
+        lambda attn: _fat_qkv_weights(attn, num_heads, dh)
+    )(blocks["attn"])
+    wqkv_fat = jnp.concatenate([wq, wk, wv], axis=2)  # (depth, D, 3*H*C)
+    bqkv_fat = jnp.concatenate([bq, bk, bv], axis=1)  # (depth, 3*H*C)
+
+    def step(h, xs):
+        blk, wf, bf = xs
         # fused LN1 + packed fat-QKV projection (one resident-weight
         # Pallas matmul; ops/fused.py)
         nq = 4 if sp % 4 == 0 and (sp // 4) % 8 == 0 else 2
@@ -367,8 +377,8 @@ def _encoder_fat(
             h,
             blk["ln1"]["g"],
             blk["ln1"]["b"],
-            jnp.concatenate([wq, wk, wv], axis=1),
-            jnp.concatenate([bq, bk, bv]),
+            wf,
+            bf,
             nq=nq,
             interpret=interpret,
             k_mask=(n_valid, num_heads, c, dh),
@@ -388,17 +398,22 @@ def _encoder_fat(
         )
         # fused LN2 + MLP + residual (the gelu intermediate never
         # round-trips HBM; ops/fused.py ln_mlp_residual)
+        # MSE_MLP_NQ/MSE_MLP_MH sweep the kernel geometry without code
+        # edits (tools_profile_ops.py); production defaults below.
+        mlp_nq = int(os.environ.get("MSE_MLP_NQ", "0")) or nq
+        if sp % mlp_nq or (sp // mlp_nq) % 8:
+            mlp_nq = nq
         h = ln_mlp_residual(
             h,
             blk["ln2"]["g"], blk["ln2"]["b"],
             blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
             blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
-            nq=nq, mh=2176,
+            nq=mlp_nq, mh=int(os.environ.get("MSE_MLP_MH", "2176")),
             interpret=interpret,
         )
         return h, None
 
-    x, _ = jax.lax.scan(step, x, blocks)
+    x, _ = jax.lax.scan(step, x, (blocks, wqkv_fat, bqkv_fat))
     return x
 
 
