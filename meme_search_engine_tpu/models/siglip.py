@@ -409,6 +409,7 @@ def _encoder_fat(
             blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
             blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
             nq=mlp_nq, mh=int(os.environ.get("MSE_MLP_MH", "2176")),
+            resident=bool(int(os.environ.get("MSE_MLP_RESIDENT", "0"))),
             interpret=interpret,
         )
         return h, None

@@ -175,6 +175,40 @@ def matmul_residual(
     )(x, w, bias.astype(jnp.float32)[None], res)
 
 
+def _ln_mlp_res_kernel(
+    x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, mh
+):
+    """Resident-weights variant: w1/w2 live whole in VMEM (constant
+    blocks over the grid — fetched from HBM once, not per row block);
+    the gelu intermediate is produced in ``mh``-wide slices that never
+    leave VMEM."""
+    xb = x_ref[0].astype(jnp.float32)
+    mu = jnp.mean(xb, axis=1, keepdims=True)
+    xc = xb - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = (
+        xc * jax.lax.rsqrt(var + 1e-6) * g_ref[0] + b_ref[0]
+    ).astype(x_ref.dtype)
+    m = w1_ref.shape[1]
+    acc = xb  # residual folded into the fp32 accumulator
+    for i in range(m // mh):
+        h = (
+            jnp.dot(
+                xn,
+                w1_ref[:, i * mh : (i + 1) * mh],
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[0, i * mh : (i + 1) * mh]
+        )
+        h = jax.nn.gelu(h, approximate=True).astype(x_ref.dtype)
+        acc = acc + jnp.dot(
+            h,
+            w2_ref[i * mh : (i + 1) * mh, :],
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = (acc + b2_ref[0]).astype(o_ref.dtype)
+
+
 def _ln_mlp_kernel(
     x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     xn_ref, acc_ref, *, nh
@@ -210,7 +244,9 @@ def _ln_mlp_kernel(
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("nq", "mh", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("nq", "mh", "resident", "interpret")
+)
 def ln_mlp_residual(
     x: jax.Array,
     gamma: jax.Array,
@@ -221,6 +257,7 @@ def ln_mlp_residual(
     b2: jax.Array,
     nq: int = 1,
     mh: int = 256,
+    resident: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """x + gelu(LayerNorm(x) @ w1 + b1) @ w2 + b2, fully fused.
@@ -255,6 +292,39 @@ def ln_mlp_residual(
         w1 = jnp.pad(w1, ((0, 0), (0, mpad - m)))
         b1 = jnp.pad(b1, (0, mpad - m))
         w2 = jnp.pad(w2, ((0, mpad - m), (0, 0)))
+    if resident:
+        # both weights whole in VMEM (w1+w2 = 2*D*Mpad bytes — 19.8 MB
+        # at SO400M bf16; fits v5e VMEM with room for the row block):
+        # fetched once for the whole grid instead of per row block.
+        return pl.pallas_call(
+            functools.partial(_ln_mlp_res_kernel, mh=mh),
+            grid=(b, nq),
+            in_specs=[
+                pl.BlockSpec((1, sq, d), lambda bb, qq: (bb, qq, 0)),
+                pl.BlockSpec((1, d), lambda bb, qq: (0, 0)),
+                pl.BlockSpec((1, d), lambda bb, qq: (0, 0)),
+                pl.BlockSpec((d, mpad), lambda bb, qq: (0, 0)),
+                pl.BlockSpec((1, mpad), lambda bb, qq: (0, 0)),
+                pl.BlockSpec((mpad, d), lambda bb, qq: (0, 0)),
+                pl.BlockSpec((1, d), lambda bb, qq: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, sq, d), lambda bb, qq: (bb, qq, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")
+            ),
+            interpret=interpret,
+        )(
+            x,
+            gamma.astype(jnp.float32)[None],
+            beta.astype(jnp.float32)[None],
+            w1,
+            b1.astype(jnp.float32)[None],
+            w2,
+            b2.astype(jnp.float32)[None],
+        )
     return pl.pallas_call(
         functools.partial(_ln_mlp_kernel, nh=nh),
         grid=(b, nq, nh),
