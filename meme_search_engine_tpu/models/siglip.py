@@ -398,18 +398,36 @@ def _encoder_fat(
         )
         # fused LN2 + MLP + residual (the gelu intermediate never
         # round-trips HBM; ops/fused.py ln_mlp_residual)
-        # MSE_MLP_NQ/MSE_MLP_MH sweep the kernel geometry without code
-        # edits (tools_profile_ops.py); production defaults below.
-        mlp_nq = int(os.environ.get("MSE_MLP_NQ", "0")) or nq
+        # MSE_MLP_NQ/MSE_MLP_MH/MSE_MLP_RESIDENT sweep the kernel
+        # geometry without code edits. Production defaults are the
+        # measured-best point of the round-3 sweep on one v5e at
+        # SO400M/B=128: resident weights + nq=2 + mh=2176 = 238.4 img/s
+        # vs 218.7 for streaming nq=4 (BENCHMARKS.md MFU ladder).
+        mlp_nq = int(os.environ.get("MSE_MLP_NQ", "0")) or (
+            2 if sp % 2 == 0 and (sp // 2) % 8 == 0 else nq
+        )
         if sp % mlp_nq or (sp // mlp_nq) % 8:
             mlp_nq = nq
+        mh = int(os.environ.get("MSE_MLP_MH", "2176"))
+        m = blk["mlp"]["fc1"]["w"].shape[1]
+        mh_eff = min(mh, ((m + 127) // 128) * 128)
+        mpad = ((m + mh_eff - 1) // mh_eff) * mh_eff
+        res_env = os.environ.get("MSE_MLP_RESIDENT", "")
+        resident = (
+            bool(int(res_env))
+            if res_env
+            # resident w1+w2 must fit VMEM next to the row block; 21 MB
+            # covers SO400M (20.06 MB measured working) and every
+            # smaller tower
+            else 2 * d * mpad * h.dtype.itemsize <= 21_000_000
+        )
         h = ln_mlp_residual(
             h,
             blk["ln2"]["g"], blk["ln2"]["b"],
             blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
             blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
-            nq=mlp_nq, mh=int(os.environ.get("MSE_MLP_MH", "2176")),
-            resident=bool(int(os.environ.get("MSE_MLP_RESIDENT", "0"))),
+            nq=mlp_nq, mh=mh,
+            resident=resident,
             interpret=interpret,
         )
         return h, None
