@@ -1,4 +1,4 @@
-"""Disk-index serve-path QPS benchmark (thread sweep, warm page cache).
+"""Disk-index serve-path QPS benchmark (thread sweep, warm or cold cache).
 
 Measures the per-core beam-search serving rate of a packed disk index
 (the reference measures the same loop inside query_disk_index.rs serve
@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -37,9 +38,28 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=16)
     ap.add_argument("--seed", type=int, default=99)
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="evict index.bin from the page cache (fadvise DONTNEED) "
+        "before every thread sweep: measures the device-IOPS-bound "
+        "regime a >page-cache index (1e8+) serves from, instead of the "
+        "warm memcpy regime",
+    )
     args = ap.parse_args(argv)
 
     from ..index.disk_index import DiskIndex
+
+    def drop_records_cache():
+        # POSIX_FADV_DONTNEED on the whole records file; sync first so
+        # dirty pages (a freshly packed index) are actually evictable.
+        path = os.path.join(args.index, "index.bin")
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        finally:
+            os.close(fd)
 
     idx = DiskIndex(args.index)
     n = idx.header.count
@@ -67,9 +87,11 @@ def main(argv=None):
 
     report = {"n": n, "beamwidth": args.beamwidth,
               "search_list": args.search_list, "k": args.k,
-              "qps_vs_threads": {}}
+              "cold": bool(args.cold), "qps_vs_threads": {}}
     lat = []
     for threads in [int(t) for t in args.threads.split(",")]:
+        if args.cold:
+            drop_records_cache()
         t0 = time.time()
         with ThreadPoolExecutor(threads) as ex:
             list(ex.map(one, qs))
