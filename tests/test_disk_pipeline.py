@@ -179,6 +179,30 @@ def test_packed_record_roundtrip():
     np.testing.assert_allclose(back.vector, e.vector, rtol=1e-2, atol=1e-3)
 
 
+def test_packed_record_oversize_url_goes_dead():
+    """A record whose URL pushes it past the pad size keeps its graph
+    role but drops the payload URL (dump_processor.rs:510-517)."""
+    rng = np.random.default_rng(4)
+    e = PackedIndexEntry(
+        id=9,
+        vector=rng.standard_normal(D).astype(np.float32),
+        vertices=list(range(64)),
+        timestamp=12345,
+        dimensions=(10, 20),
+        scores=[0.5],
+        url="https://x.test/" + "a" * 4096,
+        shards=[1],
+    )
+    packed, dead = e.pack_ex(4096)
+    assert dead and len(packed) == 4096
+    back = PackedIndexEntry.unpack(packed)
+    assert back.url == "" and back.vertices == list(range(64))
+    # an empty-url record is not dead (nothing was dropped)
+    e.url = ""
+    _packed, dead = e.pack_ex(4096)
+    assert not dead
+
+
 def test_disk_index_opens(built_index):
     out_dir, vectors, _ = built_index
     idx = DiskIndex(out_dir)
