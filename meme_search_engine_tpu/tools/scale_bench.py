@@ -144,6 +144,18 @@ def main(argv=None):
         "recompiles (use e.g. 4096 for many-shard runs)",
     )
     ap.add_argument(
+        "--max-build-records",
+        type=int,
+        default=0,
+        help="exit(3) after building this many shard records in one "
+        "process: the TPU tunnel plugin leaks ~18 KB of host memory per "
+        "node-insert transfer (measured: no live jax arrays, no "
+        "reachable numpy, malloc_trim recovers nothing), so an "
+        "unbounded 1e7 build OOMs at ~130 shards. Every stage is "
+        "resumable; wrap with "
+        "`while python -m ...; rc=$?; [ $rc -eq 3 ]; do :; done`",
+    )
+    ap.add_argument(
         "--frugal-disk",
         action="store_true",
         help="delete the dump once kmeans+split artifacts exist and the "
@@ -151,6 +163,16 @@ def main(argv=None):
         "otherwise; every deletion keeps the run resumable)",
     )
     args = ap.parse_args(argv)
+
+    # persistent compilation cache: restarted runs (see
+    # --max-build-records) reload prior-process executables from disk
+    # instead of recompiling every shard-size bucket
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(args.workdir, ".jaxcache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ..index.disk_index import DiskIndex
     from ..index.kmeans import balanced_kmeans
@@ -240,14 +262,31 @@ def main(argv=None):
     t0 = time.time()
     shard_outputs = []
     built = 0
+    records_this_run = 0
     for s in range(args.clusters):
         in_path = os.path.join(shard_dir, f"shard_{s}.msgpack")
         out_path = os.path.join(shard_dir, f"shard_{s}.graph")
         if not os.path.exists(in_path):
             continue
         if not os.path.exists(out_path):
+            if (
+                args.max_build_records
+                and records_this_run >= args.max_build_records
+            ):
+                log(
+                    f"max-build-records reached ({records_this_run}); "
+                    "exiting 3 for a fresh-process resume"
+                )
+                report["stages_s"]["shard_builds"] = round(
+                    report["stages_s"].get("shard_builds", 0.0)
+                    + time.time()
+                    - t0,
+                    1,
+                )
+                checkpoint_report()
+                raise SystemExit(3)
             ts = time.time()
-            build_shard(
+            h = build_shard(
                 in_path,
                 out_path + ".tmp",
                 query_vectors=queries,
@@ -261,13 +300,17 @@ def main(argv=None):
             )
             os.rename(out_path + ".tmp", out_path)
             built += 1
+            records_this_run += h.max
             log(f"shard {s} built in {time.time() - ts:.0f}s")
             report["shards_built"] = built
             report["shard_build_s_last"] = round(time.time() - ts, 1)
             checkpoint_report()
         shard_outputs.append(read_shard_output(out_path))
     if built:
-        report["stages_s"]["shard_builds"] = round(time.time() - t0, 1)
+        # accumulate across --max-build-records restarts
+        report["stages_s"]["shard_builds"] = round(
+            report["stages_s"].get("shard_builds", 0.0) + time.time() - t0, 1
+        )
         checkpoint_report()
         log(f"shard builds: {report['stages_s']['shard_builds']}s")
 
