@@ -313,6 +313,13 @@ def main(argv=None):
         )
         checkpoint_report()
         log(f"shard builds: {report['stages_s']['shard_builds']}s")
+        if args.max_build_records:
+            # run the OPQ/pack/serve/eval tail in a fresh process too:
+            # this process carries the build loop's leaked transfer
+            # buffers, and the tail adds a 23 GB eval stream + pack
+            # working set on top
+            log("builds complete; exiting 3 so the tail runs leak-free")
+            raise SystemExit(3)
 
     # --- OPQ + pack ---------------------------------------------------------
     # The flat fp16 corpus (global-id order) is written FIRST: it serves
