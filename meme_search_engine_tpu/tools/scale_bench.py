@@ -144,6 +144,15 @@ def main(argv=None):
         "recompiles (use e.g. 4096 for many-shard runs)",
     )
     ap.add_argument(
+        "--partial-tail",
+        action="store_true",
+        help="build nothing; run OPQ/pack/serve/eval over whichever "
+        "shard graphs already exist. Records whose shards are all "
+        "unbuilt get empty adjacency (dead ends) and the coarse router "
+        "only routes to built shards, so eval recall is an honest "
+        "partial-coverage number; report.json gains a 'coverage' field",
+    )
+    ap.add_argument(
         "--max-build-records",
         type=int,
         default=0,
@@ -268,6 +277,10 @@ def main(argv=None):
         out_path = os.path.join(shard_dir, f"shard_{s}.graph")
         if not os.path.exists(in_path):
             continue
+        if args.partial_tail:
+            if os.path.exists(out_path):
+                shard_outputs.append(read_shard_output(out_path))
+            continue
         if not os.path.exists(out_path):
             if (
                 args.max_build_records
@@ -306,6 +319,20 @@ def main(argv=None):
             report["shard_build_s_last"] = round(time.time() - ts, 1)
             checkpoint_report()
         shard_outputs.append(read_shard_output(out_path))
+    if args.partial_tail:
+        uniq = np.unique(
+            np.concatenate(
+                [np.asarray(h.mapping) for h, _ in shard_outputs]
+            )
+        )
+        report["coverage"] = {
+            "built_shards": len(shard_outputs),
+            "total_shards": args.clusters,
+            "unique_records_covered": int(len(uniq)),
+            "fraction": round(len(uniq) / n_total, 4),
+        }
+        checkpoint_report()
+        log(f"partial tail: {report['coverage']}")
     if built:
         # accumulate across --max-build-records restarts
         report["stages_s"]["shard_builds"] = round(
@@ -384,7 +411,9 @@ def main(argv=None):
             node_shards,
             manifest,
             pq,
-            centroids,
+            # align centroids with the (possibly partial) built-shard
+            # set: header.id indexes the kmeans centroid row
+            np.stack([centroids[h.id] for h, _ in shard_outputs]),
             [h.mapping[h.medioid] for h, _ in shard_outputs],
             scores=scores,
             descriptor_cdfs=cdfs,
