@@ -71,6 +71,15 @@ class VamanaConfig:
     # every score comparison is scale-invariant so no rescale is needed,
     # exactly like the reference's PQ-approximated frontier in serving)
     corpus_dtype: str = "bf16"
+    # defer-and-batch overflow: back-edge pairs that overflow R are
+    # accumulated for this many rounds before the batched re-prune runs
+    # (1 = re-prune every round, the reference's immediate semantics,
+    # lib.rs:313-318). Deferral amortises dispatch + tunnel round-trips
+    # over K rounds and merges a hub node's overflows across the window
+    # into ONE prune; the cost is that a deferred edge is invisible to
+    # searches for up to K rounds. Quality is validated by the recall
+    # harness like every other batching relaxation in this module.
+    overflow_flush_rounds: int = 8
 
 
 def _corpus_on_device(vectors: np.ndarray, dtype: str) -> jnp.ndarray:
@@ -538,6 +547,8 @@ def build_graph(
             _tot[k] = _tot.get(k, 0.0) + (_time.perf_counter() - t0)
         return _time.perf_counter()
 
+    pending_overflow = []  # deferred (target, source) back-edge pairs
+    rounds_since_flush = 0
     for round_start in range(0, n, cfg.batch_size):
         batch = sigmas[round_start : round_start + cfg.batch_size]
         b = len(batch)
@@ -620,11 +631,19 @@ def build_graph(
         )
         _t0 = _mark("dev_scatter", _t0)
 
-        # re-prune overflowing back-edge targets in one device batch
+        # defer-and-batch: overflowing back-edge targets accumulate for
+        # up to overflow_flush_rounds rounds, then re-prune as one
+        # device batch (extras for the same hub merge across the window)
         if len(overflow_nodes):
+            pending_overflow.append(overflow_nodes)
+        rounds_since_flush += 1
+        if pending_overflow and rounds_since_flush >= cfg.overflow_flush_rounds:
             graph_dev = _reprune_overflow(
-                vec_dev, graph, degrees, overflow_nodes, cfg, bp, graph_dev
+                vec_dev, graph, degrees,
+                np.concatenate(pending_overflow), cfg, bp, graph_dev,
             )
+            pending_overflow.clear()
+            rounds_since_flush = 0
         _t0 = _mark("overflow", _t0)
         if verbose and (round_start // cfg.batch_size) % 20 == 0:
             print(
@@ -632,10 +651,16 @@ def build_graph(
                 f"{round_start + b}/{n} nodes"
             )
 
+    if pending_overflow:  # flush the tail of the deferral window
+        graph_dev = _reprune_overflow(
+            vec_dev, graph, degrees,
+            np.concatenate(pending_overflow), cfg, bp, graph_dev,
+        )
+        pending_overflow.clear()
     if _prof:
         _tot.update(_OVF_STATS)
         print("build profile:", {k: round(v, 1) for k, v in _tot.items()})
-        _OVF_STATS.update(narrow=0, wide=0)
+        _OVF_STATS.update(narrow=0, wide=0, dropped=0)
     # device-mirror invariant (cheap at test scale; skipped for huge
     # builds where the download would cost more than it protects — the
     # host graph is the source of truth either way)
@@ -677,6 +702,7 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp,
     keep = pos < 64
     extras[gidx[keep], pos[keep]] = src[keep]
     n_extras = np.bincount(gidx[keep], minlength=len(all_nodes))
+    _OVF_STATS["dropped"] = _OVF_STATS.get("dropped", 0) + int((~keep).sum())
 
     # Candidate width is bucketed: nearly every overflow target receives
     # only a handful of new back-edges per round, so most nodes prune at
@@ -704,10 +730,15 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp,
             b_pad = max(b_min, 1 << (b - 1).bit_length())
             rows = graph[nodes].astype(np.int64)
             rows[rows < 0] = INVALID
+            # under deferral a target's row may have been rebuilt (its
+            # own build round, or an earlier flush chunk) since the
+            # overflow was recorded — mask extras already present so the
+            # candidate list never carries duplicate ids
+            ext = extras[take, :ewidth]
+            stale = (rows[:, :, None] == ext[:, None, :]).any(axis=1)
+            ext = np.where(stale, INVALID, ext)
             cand = np.full((b_pad, c), INVALID, np.int64)
-            cand[:b] = np.concatenate(
-                [rows, extras[take, :ewidth]], axis=1
-            )
+            cand[:b] = np.concatenate([rows, ext], axis=1)
             nodes_pad = np.concatenate(
                 [nodes, np.zeros(b_pad - b, np.int32)]
             ).astype(np.int32)

@@ -215,3 +215,28 @@ def test_stitch_refill_vectorised_matches_sequential():
     np.testing.assert_array_equal(got, oracle)
     # and the stitch contract holds: no base->query edges remain
     assert not np.any(got[:n_base] >= n_base)
+
+
+def test_overflow_flush_window_recall_parity():
+    """Defer-and-batch overflow (overflow_flush_rounds > 1) must match
+    the immediate re-prune's recall within noise: the deferred edges are
+    merely invisible to searches for up to K rounds, then merged through
+    the same bucketed prune. Also exercises the flush-time stale-extras
+    mask (a target rebuilt inside the window) and the end-of-build tail
+    flush."""
+    rng = np.random.default_rng(3)
+    x = _unit(rng, 2000, 32)
+    recalls = {}
+    for flush in (1, 8):
+        cfg = VamanaConfig(
+            r=16, l=48, maxc=96, alpha=1.0, batch_size=256,
+            overflow_flush_rounds=flush,
+        )
+        graph = build_graph(x, cfg, seed=0)  # asserts mirror invariant
+        qs = x[:200]
+        exact = np.argsort(-(qs @ x.T), axis=1)[:, :10]
+        _, ids, _ = search(x, graph, qs, 10, cfg)
+        hits = sum(len(set(ids[i]) & set(exact[i])) for i in range(len(qs)))
+        recalls[flush] = hits / (len(qs) * 10)
+    assert recalls[8] > recalls[1] - 0.05, recalls
+    assert recalls[8] > 0.8, recalls
