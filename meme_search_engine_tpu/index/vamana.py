@@ -205,9 +205,11 @@ def _batched_greedy_search(
         )
 
         # expand: gather adjacency rows + candidate vectors, one dot.
-        # On TPU the row gather is a Pallas DMA kernel fused with the
-        # query dot (ops/gather.py gather_dot) — XLA's generic gather
-        # measures ~16 GB/s effective here and dominated the build
+        # The row gather is XLA's generic gather: the pipelined Pallas
+        # row-gather was measured SLOWER at these shapes (20 vs 51 GB/s
+        # — per-block pipeline overhead on single-row blocks; see
+        # ops/gather.py use_pallas_gather for the committed numbers)
+        # and remains opt-in via MSE_PALLAS_GATHER=1
         neigh = graph[cur].reshape(b, expand * r)  # (B, E*R)
         valid = neigh >= 0
         neigh_safe = jnp.where(valid, neigh, 0)
@@ -348,9 +350,9 @@ def _batched_robust_prune(
     # only gathers rows of this matrix — the per-step (B,1,D)@(B,D,C)
     # matvec it replaces ran the MXU at ~1/128 utilisation and dominated
     # the whole build (measured 1.6 s -> ~0.1 s per 1024-node round).
-    # On TPU the (B, C, D) row gather feeding it runs through the
-    # pipelined Pallas gather (ops/gather.py) instead of XLA's generic
-    # gather (~39 GB/s effective).
+    # The (B, C, D) row gather feeding it is XLA's generic gather — the
+    # Pallas row-gather alternative measured slower and is opt-in only
+    # (ops/gather.py use_pallas_gather has the numbers).
     from ..ops.gather import gather_rows, use_pallas_gather
 
     if use_pallas_gather():
