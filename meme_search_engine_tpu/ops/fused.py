@@ -11,9 +11,12 @@ blocks of the activation, and computes the LayerNorm on the fly in
 fp32: 8.1 ms -> 4.7 ms per SigLIP layer for the fat-QKV projection.
 
 Used for the image tower's QKV projection (ops/attention.py fat
-layout). The MLP's fc1+gelu stays in XLA, which wins there (6.4 vs
-8.0 ms measured — the 9.9 MB resident fc1 weight squeezes VMEM too
-hard for good double-buffering).
+layout). The MLP sub-block runs through ``ln_mlp_residual`` below —
+an early ln_matmul-style fc1 fusion LOST to XLA (6.4 vs 8.0 ms: the
+9.9 MB fc1 weight alone squeezed double-buffering), but fusing the
+WHOLE MLP with both weights resident and the gelu intermediate blocked
+in VMEM wins decisively (11.3 ms and no per-row-block weight
+re-streaming; BENCHMARKS.md MLP geometry sweep).
 """
 
 from __future__ import annotations
