@@ -303,6 +303,61 @@ def _map_head(
     return y[:, 0]
 
 
+def _map_head_fat(
+    x: jax.Array,
+    lnf: Params,
+    p: Params,
+    num_heads: int,
+    n_valid: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Final-LN + MAP head for the fat encoder path, fused.
+
+    Numerically equivalent to ``_map_head(_layer_norm(x, lnf), p, ...,
+    n_valid)`` (the padded/masked branch), but the final LayerNorm is
+    folded into one packed [k|v] projection via
+    :func:`meme_search_engine_tpu.ops.fused.ln_matmul` — the normalised
+    (B, SP, D) sequence never round-trips HBM and the two projections
+    share one read of x. The probe-side q projection is batch-constant
+    (the probe is a learned parameter broadcast over the batch), so it
+    is computed once as an (H, dh) table instead of per batch row. The
+    pooling attention itself is one query per image — negligible FLOPs —
+    and stays in XLA.
+    """
+    b, sp, d = x.shape
+    dh = d // num_heads
+    wkv = jnp.concatenate([p["k"]["w"], p["v"]["w"]], axis=1)  # (D, 2D)
+    bkv = jnp.concatenate([p["k"]["b"], p["v"]["b"]])
+    nq = 4 if sp % 4 == 0 and (sp // 4) % 8 == 0 else 2
+    if sp % nq or (sp // nq) % 8:
+        nq = 1
+    kv = ln_matmul(
+        x, lnf["g"], lnf["b"], wkv, bkv, nq=nq, interpret=interpret
+    )  # (B, SP, 2D)
+    # q = dense(probe) in the same dtype chain as _map_head's _dense
+    q = jnp.dot(
+        p["probe"].astype(x.dtype), p["q"]["w"],
+        preferred_element_type=jnp.float32,
+    )
+    q = (q + p["q"]["b"].astype(jnp.float32)).astype(x.dtype)
+    q = q.reshape(num_heads, dh)
+    k = kv[:, :, :d].reshape(b, sp, num_heads, dh)
+    v = kv[:, :, d:].reshape(b, sp, num_heads, dh)
+    scores = jnp.einsum(
+        "hd,bkhd->bhk", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / dh**0.5)
+    mask = jnp.arange(sp) < n_valid
+    scores = jnp.where(mask[None, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum(
+        "bhk,bkhd->bhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    y = _dense(o.reshape(b, 1, d), p["o"])
+    y = y + _mlp(_layer_norm(y, p["ln"]), p["mlp"])
+    return y[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # Fat-layout encoder (image tower production path, TPU)
 # ---------------------------------------------------------------------------
@@ -499,9 +554,9 @@ def encode_image(
             x, p["blocks"], cfg.num_heads, n_valid=s,
             interpret=cfg.attn_impl == "fat_interpret",
         )
-        x = _layer_norm(x, p["ln_final"])
-        emb = _map_head(
-            x, p["map_head"], cfg.num_heads, n_valid=s
+        emb = _map_head_fat(
+            x, p["ln_final"], p["map_head"], cfg.num_heads, n_valid=s,
+            interpret=cfg.attn_impl == "fat_interpret",
         ).astype(jnp.float32)
     else:
         x = _encoder(x, p["blocks"], cfg.num_heads)
