@@ -8,13 +8,19 @@ rerank of visited nodes, cosine>0.95 result dedup (:99, 486-527), and an
 offline evaluate mode (:225-343) printing rank stats + recall@20 +
 PQ-comparison counts.
 
-Runtime split (SURVEY SS2.10 P6): record IO runs on host threads
-(python pread or the C++ diskio runtime, native/diskio.cpp) — a
-latency-bound pointer chase that belongs on CPUs; the batch-friendly
-math (result dedup, batched eval rerank, brute-force oracle) runs on
-the TPU. Frontier ADC uses a numpy LUT-sum: at beamwidth x degree ~ 200
-candidates/hop, kernel-launch latency would dominate any device gain
-(SURVEY hard-part 4's host-side fallback).
+Runtime split (SURVEY SS2.10 P6): the whole per-query beam search —
+record IO, msgpack parse, seen-bitmap, frontier ADC, exact fp16 dots,
+top-beamwidth selection — runs GIL-free in native/diskio.cpp
+(disknav_search) when the C++ reader is available; Python keeps only
+per-query setup (the LUT GEMV) and final result assembly. A
+numpy-vectorised loop with the same semantics remains as the fallback
+and parity oracle. Batch-friendly math (result dedup, eval rerank,
+brute-force oracle) runs on the TPU. Per-hop frontier ADC deliberately
+does NOT: at beamwidth x degree ~ 200 candidates/hop the C++ LUT-sum is
+microseconds while one device dispatch over this tunnel is
+milliseconds — device ADC would multiply query latency (SURVEY
+hard-part 4's host-side fallback; ops/adc.py stays the batch-path
+kernel).
 """
 
 from __future__ import annotations
