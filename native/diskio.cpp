@@ -577,6 +577,14 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
       for (int64_t vi = 0; vi < node.n_vertices; ++vi) {
         int64_t v = node.vertices[vi];
         if (v < 0 || v >= nav->count || test_set(v)) continue;
+        // prefetch the candidate's PQ row now: at 1e7 nodes the code
+        // matrix is ~640 MB, so every admission is a cold random
+        // cache-line miss that would otherwise serialise inside the
+        // ADC loop below (the reference prefetches identically:
+        // diskann/src/vector.rs fast_dot prefetch variants)
+        __builtin_prefetch(nav->pq_codes + v * nav->n_chunks, 0, 1);
+        if (use_desc)
+          __builtin_prefetch(nav->descriptors + v * nav->n_desc, 0, 1);
         hop_cands.push_back(v);
       }
     }
