@@ -438,8 +438,13 @@ def _encoder_fat(
             interpret=interpret,
             k_mask=(n_valid, num_heads, c, dh),
         )
+        # MSE_ATTN_NQ sweeps the attention kernel's q-block count (grid
+        # programs per batch row) without code edits, like MSE_MLP_*
+        attn_nq = int(os.environ.get("MSE_ATTN_NQ", "2"))
+        if sp % attn_nq or (sp // attn_nq) % 8:
+            attn_nq = 2
         attn_out = fat_vit_mha_packed(
-            qkvf, num_heads, dh, interpret=interpret
+            qkvf, num_heads, dh, nq=attn_nq, interpret=interpret
         )
         # separate o-proj+residual kernel measures FASTER than folding
         # the projection into the attention kernel's epilogue (218 vs

@@ -65,10 +65,38 @@ def _prefix(params, images, cfg, *, upto: str):
 STAGES = ["preprocess", "patch_embed", "encoder", "final_ln", "map_head", "norm"]
 
 
+def _encoder_marginal(params, images, cfg, n_layers: int):
+    """Forward through the first n_layers encoder layers only (fat path);
+    t(n) ~= fixed + n * per_layer separates scan/launch overhead from
+    marginal layer cost."""
+    p = params["img"]
+    x = siglip.preprocess_image(images, cfg)
+    b = x.shape[0]
+    n_side = cfg.image_size // cfg.patch_size
+    span = n_side * cfg.patch_size
+    x = x[:, :span, :span, :]
+    x = x.reshape(b, n_side, cfg.patch_size, n_side, cfg.patch_size, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, n_side * n_side, cfg.patch_size * cfg.patch_size * 3
+    )
+    x = siglip._dense(x, p["patch_embed"])
+    x = x + p["pos_emb"][None].astype(x.dtype)
+    s = cfg.num_patches
+    sp = ((s + 15) // 16) * 16
+    x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    blocks = jax.tree.map(lambda a: a[:n_layers], p["blocks"])
+    return siglip._encoder_fat(x, blocks, cfg.num_heads, n_valid=s)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=11)
+    ap.add_argument(
+        "--marginal", action="store_true",
+        help="time the encoder at 1/9/27 layers to split fixed vs "
+        "marginal per-layer cost",
+    )
     args = ap.parse_args()
 
     cfg = siglip.SO400M_14_384
@@ -94,6 +122,23 @@ def main():
         tn = run(args.iters)
         return (tn - t1) / (args.iters - 1)
 
+    if args.marginal:
+        pts = []
+        for n in (1, 9, 27):
+            fn = jax.jit(
+                functools.partial(_encoder_marginal, cfg=cfg, n_layers=n)
+            )
+            t = timed(fn)
+            pts.append((n, t))
+            print(f"layers={n:2d}  {t*1e3:8.1f} ms", flush=True)
+        (n0, t0), (n1, t1) = pts[0], pts[-1]
+        per_layer = (t1 - t0) / (n1 - n0)
+        print(
+            f"marginal {per_layer*1e3:.2f} ms/layer, "
+            f"fixed {(t0 - n0*per_layer)*1e3:.1f} ms", flush=True,
+        )
+        return
+
     prev = 0.0
     rows = []
     for st in STAGES:
@@ -101,7 +146,10 @@ def main():
         t = timed(fn)
         rows.append((st, t * 1e3, (t - prev) * 1e3))
         prev = t
-        print(f"{st:12s} cumulative {t*1e3:8.1f} ms   stage {rows[-1][2]:7.1f} ms")
+        print(
+            f"{st:12s} cumulative {t*1e3:8.1f} ms   stage {rows[-1][2]:7.1f} ms",
+            flush=True,
+        )
 
     total = rows[-1][1]
     print(f"\nB={args.batch}: total {total:.1f} ms "
