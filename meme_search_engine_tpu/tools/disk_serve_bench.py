@@ -88,21 +88,31 @@ def main(argv=None):
     report = {"n": n, "beamwidth": args.beamwidth,
               "search_list": args.search_list, "k": args.k,
               "cold": bool(args.cold), "qps_vs_threads": {}}
-    lat = []
+    lat_ms = []
     for threads in [int(t) for t in args.threads.split(",")]:
         if args.cold:
             drop_records_cache()
         t0 = time.time()
         with ThreadPoolExecutor(threads) as ex:
-            list(ex.map(one, qs))
+            if threads == 1:
+                # per-query latency distribution on the 1-thread pass
+                def timed_one(q):
+                    s = time.perf_counter()
+                    one(q)
+                    return (time.perf_counter() - s) * 1e3
+                lat_ms = list(ex.map(timed_one, qs))
+            else:
+                list(ex.map(one, qs))
         dt = time.time() - t0
         report["qps_vs_threads"][threads] = round(args.queries / dt, 1)
-        if threads == 1:
-            lat = [dt / args.queries * 1e3]
         print(f"threads={threads}: {args.queries / dt:.1f} QPS", flush=True)
 
-    if lat:
-        report["mean_ms"] = round(lat[0], 2)
+    if lat_ms:
+        a = np.asarray(lat_ms)
+        report["mean_ms"] = round(float(a.mean()), 2)
+        report["p50_ms"] = round(float(np.percentile(a, 50)), 2)
+        report["p95_ms"] = round(float(np.percentile(a, 95)), 2)
+        report["p99_ms"] = round(float(np.percentile(a, 99)), 2)
     if counters:
         report["node_reads_per_query"] = round(
             float(np.mean([c.node_reads for c in counters])), 1
