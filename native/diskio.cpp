@@ -17,7 +17,10 @@
 #include <immintrin.h>
 #endif
 #include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
 #include <sys/uio.h>
+#include <cstdlib>
 #include <functional>
 #include <mutex>
 #include <queue>
@@ -76,6 +79,14 @@ struct Reader {
   int fd;
   int64_t record_size;
   ThreadPool pool;
+  // Optional read-only mapping of the whole record file
+  // (MSE_DISKIO_MMAP=1): the navigator parses beam records directly
+  // from the mapping — zero syscalls and zero copies per record in the
+  // warm (page-cached) regime. Cold pages fault SYNCHRONOUSLY one at a
+  // time, losing the pool's parallel-miss fan-out, so this is an
+  // opt-in for warm serving, not the default.
+  const uint8_t* map = nullptr;
+  size_t map_len = 0;
 
   Reader(int fd, int64_t record_size, int n_threads)
       : fd(fd), record_size(record_size), pool(n_threads) {}
@@ -94,7 +105,19 @@ void* diskio_open(const char* path, int64_t record_size, int n_threads) {
   ::posix_fadvise(fd, 0, 0, POSIX_FADV_RANDOM);
 #endif
   if (n_threads <= 0) n_threads = 16;
-  return new Reader(fd, record_size, n_threads);
+  auto* r = new Reader(fd, record_size, n_threads);
+  const char* want_map = ::getenv("MSE_DISKIO_MMAP");
+  if (want_map && want_map[0] == '1') {
+    struct stat st;
+    if (::fstat(fd, &st) == 0 && st.st_size > 0) {
+      void* m = ::mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+      if (m != MAP_FAILED) {
+        r->map = static_cast<const uint8_t*>(m);
+        r->map_len = st.st_size;
+      }
+    }
+  }
+  return r;
 }
 
 // Read n records by id into out (n * record_size bytes, caller-owned).
@@ -196,6 +219,7 @@ int64_t diskio_read_batch(void* handle, const int64_t* ids, int64_t n,
 
 void diskio_close(void* handle) {
   auto* r = static_cast<Reader*>(handle);
+  if (r->map) ::munmap(const_cast<uint8_t*>(r->map), r->map_len);
   ::close(r->fd);
   delete r;
 }
@@ -534,13 +558,26 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
     for (int64_t i = 0; i < bw; ++i) batch[i] = frontier[i].id;
     frontier.erase(frontier.begin(), frontier.begin() + bw);
 
-    if (diskio_read_batch(nav->reader, batch.data(), bw, buf.data()) != bw)
+    const uint8_t* map = nav->reader->map;
+    if (map != nullptr) {
+      // zero-copy warm path: records parsed in place from the mapping
+      // (no syscall, no memcpy); cold pages fault synchronously
+      for (int64_t i = 0; i < bw; ++i) {
+        if ((batch[i] + 1) * rs > (int64_t)nav->reader->map_len) return -1;
+        __builtin_prefetch(map + batch[i] * rs, 0, 0);
+      }
+    } else if (diskio_read_batch(nav->reader, batch.data(), bw,
+                                 buf.data()) != bw) {
       return -1;
+    }
     node_reads += bw;
 
     for (int64_t i = 0; i < bw; ++i) {
       ParsedNode node;
-      if (!parse_record((const uint8_t*)buf.data() + i * rs, rs, &node))
+      const uint8_t* rec = map != nullptr
+                               ? map + batch[i] * rs
+                               : (const uint8_t*)buf.data() + i * rs;
+      if (!parse_record(rec, rs, &node))
         return -1;
       // exact fp16 dot (+ descriptor product, matching the reference's
       // slider reordering of final results, query_disk_index.rs:168-169)
