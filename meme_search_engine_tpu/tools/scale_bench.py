@@ -144,6 +144,25 @@ def main(argv=None):
         "recompiles (use e.g. 4096 for many-shard runs)",
     )
     ap.add_argument(
+        "--balance-fudge",
+        type=float,
+        default=0.2,
+        help="online shard-split balance correction "
+        "(dump_processor.rs:443-449 semantics: dot - fudge*count/total). "
+        "The reference default 0.2 is calibrated for ~42 shards; at "
+        "K=420 the per-shard count fraction is 10x smaller, so a "
+        "proportionally larger fudge (~2.0) is needed for the same "
+        "corrective pressure (measured on the 200k sample: 0.2 -> "
+        "p95/med 1.45, 2.0 -> 1.26 at 13.7%% spill-set divergence)",
+    )
+    ap.add_argument(
+        "--stage",
+        choices=("all", "prep"),
+        default="all",
+        help="prep: exit once kmeans+split artifacts exist (lets the "
+        "caller schedule other TPU work before the long build phase)",
+    )
+    ap.add_argument(
         "--partial-tail",
         action="store_true",
         help="build nothing; run OPQ/pack/serve/eval over whichever "
@@ -247,7 +266,11 @@ def main(argv=None):
     if not os.path.exists(manifest_path):
         t0 = time.time()
         count, manifest = processor.split_to_shards(
-            [dump_path], centroids, shard_dir, deduplicate=True
+            [dump_path],
+            centroids,
+            shard_dir,
+            deduplicate=True,
+            balance_fudge=args.balance_fudge,
         )
         np.save(manifest_path, np.asarray(manifest, object), allow_pickle=True)
         report["stages_s"]["shard_split"] = round(time.time() - t0, 1)
@@ -259,6 +282,9 @@ def main(argv=None):
         if args.frugal_disk and os.path.exists(dump_path):
             log("frugal-disk: dump no longer needed, deleting")
             os.remove(dump_path)
+    if args.stage == "prep":
+        log("prep stage complete (kmeans + split); exiting")
+        return
     manifest = list(np.load(manifest_path, allow_pickle=True))
     n_total = len(manifest)
 
