@@ -1,0 +1,202 @@
+"""Frontend SPA smoke + SPA<->server contract coupling (VERDICT r3 #9).
+
+The 334-line hand-written SPA (frontend/index.html, clipfront2
+App.svelte semantics) had zero executable coverage. No JS runtime
+exists in this environment, so the checks are split:
+
+- This file: executable contract coupling. Every DOM id the inline JS
+  wires, every endpoint it fetches, every response field it reads, and
+  the ?e= permalink fp16 codec are EXTRACTED FROM THE HTML (or ported
+  verbatim) and replayed against the real ``make_app`` +
+  ``attach_frontend`` app — so markup/JS/server drift fails CI.
+- A real-browser DOM drive (page load -> ?e= permalink decode ->
+  search round-trip -> masonry tiles render) needs a browser binary,
+  which this environment does not have (no chromium/webkit/node) —
+  environment-gated like docker and the live scrapers. To run it
+  elsewhere: ``python -m meme_search_engine_tpu.tools.serve_synthetic
+  --n 2000 --d 64 --port 17171`` then load
+  ``http://127.0.0.1:17171/ui?e=<urlsafe-b64 fp16>`` and assert the
+  status line shows result counts and ``#results .col .tile`` nodes
+  render.
+"""
+
+import asyncio
+import base64
+import re
+
+import numpy as np
+import pytest
+
+N, D = 64, 32
+
+
+class _RawOnlyEmbedder:
+    class _Cfg:
+        embedding_size = D
+
+    config = _Cfg()
+
+    def embed_texts(self, texts):
+        rng = np.random.default_rng(len(texts))
+        v = rng.standard_normal((len(texts), D)).astype(np.float32)
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    def embed_image_bytes(self, blobs):
+        raise RuntimeError("not used")
+
+
+@pytest.fixture(scope="module")
+def spa_html():
+    from meme_search_engine_tpu.serving.frontend import FRONTEND_DIR
+    import os
+
+    with open(os.path.join(FRONTEND_DIR, "index.html")) as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module")
+def app():
+    from meme_search_engine_tpu.index.flat import FlatIndex, IndexHandle
+    from meme_search_engine_tpu.ingest.filename import Actual
+    from meme_search_engine_tpu.serving.frontend import attach_frontend
+    from meme_search_engine_tpu.serving.query_server import make_app
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((N, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    index = FlatIndex.build(
+        vecs.astype(np.float16),
+        [Actual(f"img{i}.png") for i in range(N)],
+    )
+    a = make_app(
+        IndexHandle(index),
+        _RawOnlyEmbedder(),
+        predefined={"aesthetic": vecs[0]},
+        formats=["jpegl", "VIDEO"],
+        extensions={"jpegl": "jpg"},
+    )
+    attach_frontend(a)
+    return a
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_every_js_dom_id_exists_in_markup(spa_html):
+    ids = set(re.findall(r'getElementById\("([^"]+)"\)', spa_html))
+    assert len(ids) >= 10  # q, go, status, results, terms, refiner, ...
+    missing = [i for i in ids if f'id="{i}"' not in spa_html]
+    assert not missing, f"JS wires ids with no markup element: {missing}"
+
+
+def test_every_js_endpoint_is_routed(spa_html, app):
+    paths = set(
+        re.findall(r'fetch\(CONFIG\.backend \+ "([^"]*)"', spa_html)
+    ) | set(
+        re.findall(r'sendBeacon\?\.\(CONFIG\.backend \+ "([^"]*)"', spa_html)
+    )
+    assert paths  # at least "/" and "/telemetry"
+    routed = {r.resource.canonical for r in app.router.routes()}
+    missing = [p for p in paths if p not in routed]
+    assert not missing, f"SPA fetches unrouted paths: {missing}"
+
+
+def _decode_embedding_js_port(b64: str) -> np.ndarray:
+    """Verbatim port of the SPA's decodeEmbedding/f16ToF32."""
+    raw = base64.b64decode(b64.replace("-", "+").replace("_", "/"))
+    out = []
+    for i in range(0, len(raw), 2):
+        h = raw[i] | (raw[i + 1] << 8)
+        s = -1.0 if h & 0x8000 else 1.0
+        e = (h >> 10) & 0x1F
+        m = h & 0x3FF
+        if e == 0:
+            out.append(s * m * 2.0**-24)
+        elif e == 31:
+            out.append(float("nan") if m else s * float("inf"))
+        else:
+            out.append(s * (1 + m / 1024.0) * 2.0 ** (e - 15))
+    return np.asarray(out, np.float32)
+
+
+def test_permalink_fp16_codec_matches_numpy():
+    """?e= permalinks are urlsafe-b64 little-endian fp16; the JS decoder
+    must agree bit-exactly with the numpy fp16 the server produces."""
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(D).astype(np.float16)
+    b64 = base64.urlsafe_b64encode(v.tobytes()).decode()
+    decoded = _decode_embedding_js_port(b64)
+    np.testing.assert_array_equal(decoded, v.astype(np.float32))
+
+
+def test_spa_search_roundtrip_and_fields(app, spa_html):
+    """POST the exact body the SPA's search() builds; assert every
+    response field appendChunk()/hasFormat()/thumbUrl() read exists."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # boot(): GET / init — JS reads n_total and
+            # predefined_embedding_names
+            init = await (await client.get("/")).json()
+            assert init["n_total"] == N
+            assert init["predefined_embedding_names"] == ["aesthetic"]
+
+            # ?e= permalink flow: decode -> search() body shape
+            rng = np.random.default_rng(5)
+            emb = rng.standard_normal(D).astype(np.float16)
+            b64 = base64.urlsafe_b64encode(emb.tobytes()).decode()
+            qvec = _decode_embedding_js_port(b64)
+            body = {
+                "terms": [{"weight": 1.0, "embedding": qvec.tolist()}],
+                "k": 1000,
+                "include_video": False,
+                "debug_enabled": False,
+            }
+            resp = await client.post("/", json=body)
+            assert resp.status == 200
+            out = await resp.json()
+            # fields the JS destructures: matches rows
+            # [score, file, key, mask, dims], formats, extensions
+            assert out["formats"] == ["jpegl", "VIDEO"]
+            assert out["extensions"] == {"jpegl": "jpg"}
+            assert 0 < len(out["matches"]) <= 1000
+            score, fname, key, mask, dims = out["matches"][0][:5]
+            assert isinstance(score, float) and fname.startswith("img")
+            assert isinstance(mask, int)
+            # scores ranked descending (appendChunk renders in order)
+            scores = [m[0] for m in out["matches"]]
+            assert scores == sorted(scores, reverse=True)
+
+            # refiner step: single-embedding k=1 query (refine() body)
+            resp = await client.post(
+                "/", json={"terms": [{"embedding": qvec.tolist()}], "k": 1}
+            )
+            assert len((await resp.json())["matches"]) == 1
+
+            # telemetry beacon payload (telemetry() in the SPA)
+            resp = await client.post(
+                "/telemetry",
+                json={
+                    "event": "search",
+                    "data": {"terms": 1},
+                    "instance": "t",
+                    "correlation": "t",
+                    "time": 0,
+                },
+            )
+            assert resp.status in (200, 204)
+
+            # GET /ui serves the SPA with config injected
+            page = await client.get("/ui")
+            assert page.status == 200
+            html = await page.text()
+            assert "window.FRONTEND_CONFIG" in html
+            assert 'id="results"' in html
+        finally:
+            await client.close()
+
+    _run(run())
