@@ -34,6 +34,14 @@ def main(argv=None):
     ap.add_argument("--expand", type=int, default=2)
     ap.add_argument("--corpus-dtype", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--eval-queries", type=int, default=512)
+    ap.add_argument(
+        "--max-steps",
+        type=int,
+        default=0,
+        help="override the build search-hop budget (0 = auto: "
+        "ceil(2L/expand)); --max-steps 384 restores the pre-round-2 "
+        "fixed 2L budget for quality A/Bs",
+    )
     args = ap.parse_args(argv)
 
     from ..index import vamana
@@ -61,6 +69,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         build_expand=args.expand,
         corpus_dtype=args.corpus_dtype,
+        max_search_steps=args.max_steps,
     )
     with Timer("build") as t_build:
         graph = vamana.build_graph(vecs, cfg, verbose=True)
