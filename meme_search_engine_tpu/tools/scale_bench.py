@@ -169,7 +169,9 @@ def main(argv=None):
         "shard graphs already exist. Records whose shards are all "
         "unbuilt get empty adjacency (dead ends) and the coarse router "
         "only routes to built shards, so eval recall is an honest "
-        "partial-coverage number; report.json gains a 'coverage' field",
+        "partial-coverage number; report.json gains a 'coverage' field "
+        "and eval gains 'recall_at_20_covered' (ground truth restricted "
+        "to covered records — the quality of what was built)",
     )
     ap.add_argument(
         "--max-build-records",
@@ -519,7 +521,23 @@ def main(argv=None):
             _s, gt_i = streamed_mips_topk(
                 slabs(), eval_q, 1000, tile=262_144
             )
+        # Under --partial-tail the raw recall is bounded above by the
+        # coverage fraction (a true neighbour in an unbuilt shard is
+        # unreachable by construction), so ALSO score against the
+        # ground truth restricted to covered records: that is the
+        # quality of the index over what was actually built, the number
+        # that extrapolates to full coverage. Both are reported; neither
+        # replaces the other.
+        covered = None
+        if args.partial_tail:
+            covered = np.zeros(n_total, bool)
+            covered[
+                np.concatenate(
+                    [np.asarray(h.mapping) for h, _ in shard_outputs]
+                )
+            ] = True
         hits, ranks = 0, []
+        hits_cov, denom_cov = 0, 0
         for qi, q in enumerate(eval_q):
             # eval mode: no near-duplicate dedup (the reference's
             # evaluate path ranks raw results, query_disk_index.rs:225-343;
@@ -530,6 +548,11 @@ def main(argv=None):
             )
             found = {r.id for r in results}
             hits += len(found & set(gt_i[qi, :20].tolist()))
+            if covered is not None:
+                row = gt_i[qi]
+                row_cov = row[covered[row]][:20]
+                hits_cov += len(found & set(row_cov.tolist()))
+                denom_cov += len(row_cov)
             top = results[0].id if results else -1
             pos = np.nonzero(gt_i[qi] == top)[0]
             ranks.append(int(pos[0]) + 1 if len(pos) else 1001)
@@ -542,6 +565,10 @@ def main(argv=None):
                 float(len(ranks) / (1.0 / ranks).sum()), 3
             ),
         }
+        if covered is not None and denom_cov:
+            report["eval"]["recall_at_20_covered"] = round(
+                hits_cov / denom_cov, 4
+            )
         report["stages_s"]["eval"] = round(time.time() - t0, 1)
         log(f"eval: {report['eval']}")
 

@@ -443,6 +443,33 @@ def test_scale_bench_tool_end_to_end(tmp_path, monkeypatch):
     for p, mt in graph_mtimes.items():
         assert os.path.getmtime(os.path.join(wd, "shards", p)) == mt
 
+    # --partial-tail with missing shard graphs: the tail re-packs from
+    # the surviving graphs, reports honest coverage <1, and scores BOTH
+    # raw recall (bounded by coverage) and covered-restricted recall
+    # (the quality of what was built; >= raw by construction). Two of
+    # three graphs must go: with 2-way spill a record is only uncovered
+    # when BOTH its shards are unbuilt.
+    os.remove(os.path.join(wd, "shards", "shard_1.graph"))
+    os.remove(os.path.join(wd, "shards", "shard_2.graph"))
+    import shutil
+
+    shutil.rmtree(os.path.join(wd, "index"))
+    scale_bench.main([
+        "--workdir", wd, "--n", "400", "--clusters", "3",
+        "--r", "8", "--l", "16", "--maxc", "32", "--build-batch", "128",
+        "--serve-queries", "8", "--eval-queries", "8",
+        "--search-list", "64", "--beamwidth", "2",
+        "--pq-chunks", "8", "--pq-centroids", "16", "--ood-queries", "16",
+        "--partial-tail",
+    ])
+    report3 = json.load(open(f"{wd}/report.json"))
+    cov = report3["coverage"]
+    assert cov["built_shards"] == 1 and cov["total_shards"] == 3
+    assert 0 < cov["fraction"] < 1
+    ev = report3["eval"]
+    assert ev["recall_at_20_covered"] >= ev["recall_at_20"]
+    assert ev["recall_at_20_covered"] > 0.3
+
 
 def test_native_beam_search_matches_python(built_index):
     """The C++ disknav beam search (the GIL-free serving hot loop)
