@@ -593,9 +593,21 @@ def encode_text(
     sp = cfg.text_len
     th = cfg.text_num_heads
     fat_capable = fat_layout_ok(th, cfg.text_width // th, sp)
+    # At short sequence the fat-layout kernel loses to plain XLA
+    # attention: its 80/128-lane layout penalty and fixed per-kernel
+    # overhead stop amortising once the attention matmuls are tiny.
+    # Measured on the real chip at SO400M text shapes (S=64, bs=256):
+    # fat 166.8 ms/batch (1535 texts/s, 41% MFU) vs XLA 126.6 ms/batch
+    # (2023 texts/s, 55% MFU) — so "auto" only picks fat at the
+    # image-tower regime (S>=256); "fat_interpret" still forces it for
+    # the parity tests.
     use_fat = fat_capable and (
         cfg.attn_impl == "fat_interpret"
-        or (cfg.attn_impl == "auto" and jax.default_backend() == "tpu")
+        or (
+            cfg.attn_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and sp >= 256
+        )
     )
     if use_fat:
         # text_len=64 is already row-aligned: same fat-layout encoder as
