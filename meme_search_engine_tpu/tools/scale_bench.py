@@ -22,6 +22,8 @@ import time
 
 import numpy as np
 
+from ..utils.mallctl import malloc_trim, rss_kb
+
 D_EMB = 1152
 
 
@@ -342,7 +344,15 @@ def main(argv=None):
             os.rename(out_path + ".tmp", out_path)
             built += 1
             records_this_run += h.max
-            log(f"shard {s} built in {time.time() - ts:.0f}s")
+            # Return reclaimable glibc arena to the OS between shards
+            # (cheap insurance — see utils/mallctl.py: the measured
+            # build growth is plugin-held, not arena); RSS is logged so
+            # the trimmed growth rate stays measurable on real runs.
+            malloc_trim()
+            log(
+                f"shard {s} built in {time.time() - ts:.0f}s "
+                f"(rss {rss_kb() // 1024} MB)"
+            )
             report["shards_built"] = built
             report["shard_build_s_last"] = round(time.time() - ts, 1)
             checkpoint_report()

@@ -159,3 +159,16 @@ def test_dockerfile_daemonless_validation():
         if pipname not in pip_pkgs:
             missing.append(name)
     assert not missing, f"imports not covered by Dockerfile pip line: {missing}"
+
+
+def test_mallctl_trim_and_rss():
+    # malloc_trim must be a safe, callable no-op-or-better everywhere
+    # (the scale_bench shard loop calls it once per built shard), and
+    # rss_kb must read a plausible resident size on Linux.
+    from meme_search_engine_tpu.utils.mallctl import malloc_trim, rss_kb
+
+    before = rss_kb()
+    assert before > 10_000  # a JAX-importing test process is >10 MB
+    result = malloc_trim()
+    assert result in (True, False)
+    assert rss_kb() <= before  # trim never grows RSS
