@@ -100,19 +100,28 @@ class ShardSplitter:
     dump_processor.rs:443-449)."""
 
     centroids: np.ndarray  # (K, D)
-    out_dir: str
+    out_dir: Optional[str]
     balance_fudge: float = 0.2
+    only_shards: Optional[set] = None  # write just these ids (resplit)
+    collect_assignment: bool = False
     files: List = field(default_factory=list)
     counts: Optional[np.ndarray] = None
     total: int = 0
+    assignment_batches: List[np.ndarray] = field(default_factory=list)
 
     def __post_init__(self):
         import msgpack
 
-        os.makedirs(self.out_dir, exist_ok=True)
         k = self.centroids.shape[0]
         self.counts = np.zeros(k, np.int64)
+        if self.out_dir is None:
+            self.files = [None] * k
+            return
+        os.makedirs(self.out_dir, exist_ok=True)
         for i in range(k):
+            if self.only_shards is not None and i not in self.only_shards:
+                self.files.append(None)
+                continue
             path = os.path.join(self.out_dir, f"shard_{i}.msgpack")
             f = open(path, "wb")
             f.write(
@@ -125,11 +134,11 @@ class ShardSplitter:
             )
             self.files.append(f)
 
-    def add_batch(self, ids: Sequence[int], embeddings: np.ndarray):
-        import msgpack
-
-        from ..utils.fp16 import encode_fp16_buffer
-
+    def assign_batch(self, embeddings: np.ndarray) -> np.ndarray:
+        """Top-SHARD_SPILL assignment for one batch, updating the
+        running balance counts. Deterministic in the (stream order,
+        batch boundaries, centroids, fudge) tuple — resplit replay
+        (regenerate_shard_inputs) depends on that."""
         dots = embeddings.astype(np.float32) @ self.centroids.T  # (B, K)
         # balance correction frozen at batch start: within one batch the
         # count term moves by <= fudge * (2B/K)/total (~4e-6 at 1e6+
@@ -142,21 +151,46 @@ class ShardSplitter:
         top = np.argpartition(-adj, SHARD_SPILL - 1, axis=1)[
             :, :SHARD_SPILL
         ]
+        np.add.at(self.counts, top.ravel(), 1)
+        self.total += len(embeddings)
+        if self.collect_assignment:
+            self.assignment_batches.append(top.astype(np.int32))
+        return top
+
+    def write_batch(
+        self, ids: Sequence[int], embeddings: np.ndarray, top: np.ndarray
+    ):
+        import msgpack
+
+        from ..utils.fp16 import encode_fp16_buffer
+
         for j, rid in enumerate(ids):
+            outs = [f for f in (self.files[s] for s in top[j]) if f]
+            if not outs:
+                continue
             data = msgpack.packb(
                 {
                     "id": int(rid),
                     "vector": encode_fp16_buffer(embeddings[j]),
                 }
             )
-            for s in top[j]:
-                self.files[s].write(data)
-        np.add.at(self.counts, top.ravel(), 1)
-        self.total += len(ids)
+            for f in outs:
+                f.write(data)
+
+    def add_batch(self, ids: Sequence[int], embeddings: np.ndarray):
+        self.write_batch(ids, embeddings, self.assign_batch(embeddings))
+
+    def assignment(self) -> np.ndarray:
+        """(n, SHARD_SPILL) int32 shard ids in stream order (requires
+        collect_assignment=True)."""
+        if not self.assignment_batches:
+            return np.zeros((0, SHARD_SPILL), np.int32)
+        return np.concatenate(self.assignment_batches)
 
     def close(self):
         for f in self.files:
-            f.close()
+            if f is not None:
+                f.close()
 
 
 def iter_dumps(paths: Sequence[str]) -> Iterator[ProcessedEntry]:
@@ -186,13 +220,23 @@ def split_to_shards(
     batch_size: int = 4096,
     threshold: Optional[float] = None,
     threshold_query: Optional[np.ndarray] = None,
+    save_assignment: Optional[str] = None,
 ) -> Tuple[int, List[dict]]:
     """Dumps -> per-shard ShardedRecord files + a record manifest.
 
     Returns (count, manifest) where manifest[i] holds the metadata
     needed at pack time (url, timestamp, dimensions) for global id i.
+    ``save_assignment`` persists the (n, SHARD_SPILL) record->shard
+    table as .npy — 8 bytes/record that make deleted shard inputs
+    exactly regenerable from the flat fp16 corpus
+    (:func:`regenerate_shard_inputs`).
     """
-    splitter = ShardSplitter(centroids, out_dir, balance_fudge)
+    splitter = ShardSplitter(
+        centroids,
+        out_dir,
+        balance_fudge,
+        collect_assignment=save_assignment is not None,
+    )
     dedup = DedupRing() if deduplicate else None
     manifest: List[dict] = []
     count = 0
@@ -240,7 +284,126 @@ def split_to_shards(
             flush()
     flush()
     splitter.close()
+    if save_assignment is not None:
+        np.save(save_assignment, splitter.assignment())
     return count, manifest
+
+
+def regenerate_shard_inputs(
+    flat_path: str,
+    n_total: int,
+    centroids: np.ndarray,
+    out_dir: str,
+    *,
+    balance_fudge: float = 0.2,
+    batch_size: int = 4096,
+    assignment_path: Optional[str] = None,
+    verify_built: bool = True,
+) -> dict:
+    """Rebuild missing shard input files from the flat fp16 corpus.
+
+    The --frugal-disk pipeline deletes shard inputs once ``vectors.f16``
+    exists (they are redundant: inputs store the same fp16 vectors the
+    flat file collects, in global-id order). This inverts the deletion
+    so an interrupted many-shard build can resume: for every
+    ``shard_s.msgpack`` absent from ``out_dir``, regenerate it with
+    byte-identical content.
+
+    The record->shard assignment comes from ``assignment_path`` when the
+    split persisted it (save_assignment); otherwise the split is
+    *replayed* — same batch boundaries, same frozen-count balance
+    correction, same fp16->f32 dots — which is bit-exact provided the
+    original split deduplicated nothing (kept stream == raw stream; true
+    for the synthetic corpora, and detectable: len(manifest) == n).
+    When ``verify_built``, the recovered assignment is checked against
+    every existing ``shard_s.graph``'s base-record mapping — a mismatch
+    means the replay preconditions were violated and nothing is written.
+
+    Returns a summary dict {regenerated, verified_shards, records}.
+    """
+    k = centroids.shape[0]
+    d = centroids.shape[1]
+    vectors = np.memmap(flat_path, np.float16, "r", shape=(n_total, d))
+    missing = [
+        s
+        for s in range(k)
+        if not os.path.exists(os.path.join(out_dir, f"shard_{s}.msgpack"))
+    ]
+    assignment = None
+    if assignment_path and os.path.exists(assignment_path):
+        assignment = np.load(assignment_path)
+        if len(assignment) != n_total:
+            raise ValueError(
+                f"assignment rows {len(assignment)} != corpus {n_total}"
+            )
+    if assignment is None:
+        # replay the split's assignment pass (no file writes)
+        replayer = ShardSplitter(
+            centroids,
+            None,
+            balance_fudge,
+            collect_assignment=True,
+        )
+        for start in range(0, n_total, batch_size):
+            replayer.assign_batch(np.asarray(vectors[start : start + batch_size]))
+        assignment = replayer.assignment()
+        if assignment_path:
+            np.save(assignment_path, assignment)
+
+    verified = 0
+    if verify_built:
+        from .formats import read_shard_output
+
+        member_of = [
+            np.nonzero((assignment == s).any(axis=1))[0] for s in range(k)
+        ]
+        for s in range(k):
+            graph = os.path.join(out_dir, f"shard_{s}.graph")
+            if not os.path.exists(graph):
+                continue
+            header, _adj = read_shard_output(graph)
+            built_members = np.unique(np.asarray(header.mapping, np.int64))
+            if not np.array_equal(built_members, member_of[s]):
+                raise RuntimeError(
+                    f"shard {s}: recovered assignment disagrees with the "
+                    f"built graph ({len(member_of[s])} vs "
+                    f"{len(built_members)} members) — refusing to "
+                    "regenerate inputs from a divergent replay"
+                )
+            verified += 1
+
+    records = 0
+    if missing:
+        # one sequential pass over the corpus, appending to every
+        # missing shard (same IO shape as the original split); write to
+        # a tmp dir and rename into place so a crash leaves no partials
+        tmp_dir = os.path.join(out_dir, ".resplit_tmp")
+        writer = ShardSplitter(
+            centroids,
+            tmp_dir,
+            balance_fudge,
+            only_shards=set(missing),
+        )
+        for start in range(0, n_total, batch_size):
+            top = assignment[start : start + batch_size]
+            writer.write_batch(
+                range(start, start + len(top)),
+                np.asarray(vectors[start : start + batch_size]),
+                top,
+            )
+            records += int(np.isin(top, missing).any(axis=1).sum())
+        writer.close()
+        for s in missing:
+            os.replace(
+                os.path.join(tmp_dir, f"shard_{s}.msgpack"),
+                os.path.join(out_dir, f"shard_{s}.msgpack"),
+            )
+        os.rmdir(tmp_dir)
+    return {
+        "regenerated": len(missing),
+        "verified_shards": verified,
+        "records": records,
+    }
 
 
 def merge_shard_adjacency(

@@ -159,10 +159,14 @@ def main(argv=None):
     )
     ap.add_argument(
         "--stage",
-        choices=("all", "prep"),
+        choices=("all", "prep", "resplit"),
         default="all",
         help="prep: exit once kmeans+split artifacts exist (lets the "
-        "caller schedule other TPU work before the long build phase)",
+        "caller schedule other TPU work before the long build phase). "
+        "resplit: regenerate shard input files that --frugal-disk "
+        "deleted, from vectors.f16 + centroids (assignment.npy replay, "
+        "verified against every built shard graph), so an interrupted "
+        "many-shard build can resume",
     )
     ap.add_argument(
         "--partial-tail",
@@ -275,6 +279,7 @@ def main(argv=None):
             shard_dir,
             deduplicate=True,
             balance_fudge=args.balance_fudge,
+            save_assignment=os.path.join(wd, "assignment.npy"),
         )
         np.save(manifest_path, np.asarray(manifest, object), allow_pickle=True)
         report["stages_s"]["shard_split"] = round(time.time() - t0, 1)
@@ -291,6 +296,27 @@ def main(argv=None):
         return
     manifest = list(np.load(manifest_path, allow_pickle=True))
     n_total = len(manifest)
+
+    if args.stage == "resplit":
+        flat_path = os.path.join(wd, "vectors.f16")
+        if not os.path.exists(flat_path):
+            raise SystemExit(
+                "resplit needs vectors.f16 (the collect stage writes it "
+                "before --frugal-disk deletes shard inputs)"
+            )
+        t0 = time.time()
+        summary = processor.regenerate_shard_inputs(
+            flat_path,
+            n_total,
+            centroids,
+            shard_dir,
+            balance_fudge=args.balance_fudge,
+            assignment_path=os.path.join(wd, "assignment.npy"),
+        )
+        report["stages_s"]["resplit"] = round(time.time() - t0, 1)
+        checkpoint_report()
+        log(f"resplit: {summary} in {report['stages_s']['resplit']}s")
+        return
 
     # --- OOD query vectors (generate_index_shard.rs:71-94) -----------------
     rng = np.random.default_rng(7)

@@ -470,6 +470,27 @@ def test_scale_bench_tool_end_to_end(tmp_path, monkeypatch):
     assert ev["recall_at_20_covered"] >= ev["recall_at_20"]
     assert ev["recall_at_20_covered"] > 0.3
 
+    # --stage resplit: regenerate shard inputs after a frugal-disk
+    # deletion, byte-exact, from vectors.f16 + the saved assignment
+    inputs = {
+        s: open(os.path.join(wd, "shards", f"shard_{s}.msgpack"), "rb").read()
+        for s in range(3)
+    }
+    assert os.path.exists(os.path.join(wd, "assignment.npy"))
+    for s in range(3):
+        os.remove(os.path.join(wd, "shards", f"shard_{s}.msgpack"))
+    scale_bench.main([
+        "--workdir", wd, "--n", "400", "--clusters", "3",
+        "--stage", "resplit",
+    ])
+    for s in range(3):
+        back = open(
+            os.path.join(wd, "shards", f"shard_{s}.msgpack"), "rb"
+        ).read()
+        assert back == inputs[s]
+    report4 = json.load(open(f"{wd}/report.json"))
+    assert "resplit" in report4["stages_s"]
+
 
 def test_native_beam_search_matches_python(built_index):
     """The C++ disknav beam search (the GIL-free serving hot loop)
@@ -512,3 +533,105 @@ def test_native_beam_search_matches_python(built_index):
                 assert cn.node_reads == cp.node_reads
                 assert cn.pq_comparisons == cp.pq_comparisons
                 assert all(r.url for r in rn if r.id < N)
+
+
+def test_resplit_regenerates_deleted_inputs_byte_exact(tmp_path):
+    """--frugal-disk inverse: regenerate_shard_inputs must reproduce
+    deleted shard input files byte-for-byte, from the saved assignment
+    AND from a cold replay, verified against a built shard graph."""
+    rng = np.random.default_rng(9)
+    dump_path = str(tmp_path / "000000001.dump.zst")
+    with DumpWriter(dump_path) as w:
+        for e in _entries(rng, N):
+            w.write(e)
+    sample = processor.sample_embeddings([dump_path], 1.0, seed=0)
+    centroids = balanced_kmeans(
+        sample.astype(np.float32), 4, max_iter=40, seed=0, target_frac=0.5
+    )
+    shard_dir = str(tmp_path / "shards")
+    assign_path = str(tmp_path / "assignment.npy")
+    count, _manifest = processor.split_to_shards(
+        [dump_path],
+        centroids,
+        shard_dir,
+        deduplicate=True,
+        save_assignment=assign_path,
+    )
+    assert count == N
+    assignment = np.load(assign_path)
+    assert assignment.shape == (N, processor.SHARD_SPILL)
+
+    def input_bytes():
+        return {
+            s: open(os.path.join(shard_dir, f"shard_{s}.msgpack"), "rb").read()
+            for s in range(4)
+        }
+
+    originals = input_bytes()
+
+    # collect the flat fp16 corpus the way the scale_bench tail does
+    from meme_search_engine_tpu.pipeline.formats import read_shard_input
+
+    vectors = np.zeros((N, D), np.float16)
+    for s in range(4):
+        _h, records = read_shard_input(
+            os.path.join(shard_dir, f"shard_{s}.msgpack")
+        )
+        for rid, vec in records:
+            vectors[rid] = vec
+    flat = str(tmp_path / "vectors.f16")
+    vectors.tofile(flat)
+
+    # build one shard graph so verification has something to check
+    q = rng.standard_normal((8, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    build_shard(
+        os.path.join(shard_dir, "shard_0.msgpack"),
+        os.path.join(shard_dir, "shard_0.graph"),
+        query_vectors=q,
+        r=8,
+        l=16,
+        maxc=32,
+        batch_size=64,
+        seed=0,
+    )
+
+    # 1. regenerate two deleted inputs from the saved assignment
+    for s in (1, 3):
+        os.remove(os.path.join(shard_dir, f"shard_{s}.msgpack"))
+    summary = processor.regenerate_shard_inputs(
+        flat, N, centroids, shard_dir, assignment_path=assign_path
+    )
+    assert summary["regenerated"] == 2
+    assert summary["verified_shards"] == 1
+    assert input_bytes() == originals
+
+    # 2. cold replay (no assignment.npy): recompute assignments from the
+    # corpus; must still be byte-exact (nothing was deduplicated), and
+    # must re-save the assignment for next time
+    os.remove(assign_path)
+    for s in (1, 2):
+        os.remove(os.path.join(shard_dir, f"shard_{s}.msgpack"))
+    summary = processor.regenerate_shard_inputs(
+        flat, N, centroids, shard_dir, assignment_path=assign_path
+    )
+    assert summary["regenerated"] == 2
+    assert input_bytes() == originals
+    assert np.array_equal(np.load(assign_path), assignment)
+
+    # 3. a divergent replay must refuse to write: wrong centroids give
+    # shard 0 a different membership, the built graph catches it
+    for s in (1, 2):
+        os.remove(os.path.join(shard_dir, f"shard_{s}.msgpack"))
+    os.remove(assign_path)
+    with pytest.raises(RuntimeError, match="divergent"):
+        processor.regenerate_shard_inputs(
+            flat, N, centroids[::-1].copy(), shard_dir
+        )
+    # nothing half-written
+    assert not os.path.exists(os.path.join(shard_dir, ".resplit_tmp"))
+    # recover for hygiene
+    processor.regenerate_shard_inputs(
+        flat, N, centroids, shard_dir, assignment_path=None
+    )
+    assert input_bytes() == originals
