@@ -196,7 +196,8 @@ def main(argv=None):
         action="store_true",
         help="delete the dump once kmeans+split artifacts exist and the "
         "shard inputs once vectors.f16 is written (1e7 needs ~140 GB "
-        "otherwise; every deletion keeps the run resumable)",
+        "otherwise; every deletion keeps the run resumable — deleted "
+        "shard inputs come back byte-exactly via --stage resplit)",
     )
     args = ap.parse_args(argv)
 
