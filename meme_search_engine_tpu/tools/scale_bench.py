@@ -213,7 +213,7 @@ def main(argv=None):
 
     from ..index.disk_index import DiskIndex
     from ..index.kmeans import balanced_kmeans
-    from ..index.opq import train_opq
+    from ..index.opq import ProductQuantizer, train_opq
     from ..pipeline import processor
     from ..pipeline.build_shard import build_shard
     from ..pipeline.descriptors import compute_cdfs
@@ -450,15 +450,30 @@ def main(argv=None):
             log("frugal-disk: shard inputs deleted (vectors.f16 has them)")
 
         t0 = time.time()
-        sample_idx = np.sort(rng.permutation(n_total)[: min(n_total, 100_000)])
-        pq = train_opq(
-            np.asarray(vectors[sample_idx], np.float32),
-            queries,
-            n_chunks=args.pq_chunks,
-            n_centroids=args.pq_centroids,
-            outer_iters=2,
-            adam_iters=120,
-        )
+        # checkpoint the trained OPQ next to the workdir: training is
+        # deterministic in the corpus sample + queries (both seeded), so
+        # a restarted tail (crash mid-pack, partial-tail -> full-tail
+        # rerun) reloads instead of re-paying ~530 s at 1e7
+        opq_ckpt = os.path.join(wd, "opq.msgpack")
+        if os.path.exists(opq_ckpt):
+            with open(opq_ckpt, "rb") as f:
+                pq = ProductQuantizer.from_msgpack(f.read())
+            log("opq: reloaded checkpoint")
+        else:
+            sample_idx = np.sort(
+                rng.permutation(n_total)[: min(n_total, 100_000)]
+            )
+            pq = train_opq(
+                np.asarray(vectors[sample_idx], np.float32),
+                queries,
+                n_chunks=args.pq_chunks,
+                n_centroids=args.pq_centroids,
+                outer_iters=2,
+                adam_iters=120,
+            )
+            with open(opq_ckpt + ".tmp", "wb") as f:
+                f.write(pq.to_msgpack())
+            os.rename(opq_ckpt + ".tmp", opq_ckpt)
         report["stages_s"]["opq_train"] = round(time.time() - t0, 1)
         checkpoint_report()
         log(f"opq: {report['stages_s']['opq_train']}s")
