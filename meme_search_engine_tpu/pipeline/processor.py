@@ -336,6 +336,7 @@ def regenerate_shard_inputs(
             raise ValueError(
                 f"assignment rows {len(assignment)} != corpus {n_total}"
             )
+    replayed = assignment is None
     if assignment is None:
         # replay the split's assignment pass (no file writes)
         replayer = ShardSplitter(
@@ -347,8 +348,6 @@ def regenerate_shard_inputs(
         for start in range(0, n_total, batch_size):
             replayer.assign_batch(np.asarray(vectors[start : start + batch_size]))
         assignment = replayer.assignment()
-        if assignment_path:
-            np.save(assignment_path, assignment)
 
     verified = 0
     if verify_built:
@@ -371,6 +370,13 @@ def regenerate_shard_inputs(
                     "regenerate inputs from a divergent replay"
                 )
             verified += 1
+
+    # persist the replayed assignment only AFTER it verifies against
+    # every built graph: saving first would poison later resumes with a
+    # divergent replay (e.g. a forgotten non-default --balance-fudge),
+    # which the loader takes on trust
+    if replayed and assignment_path:
+        np.save(assignment_path, assignment)
 
     records = 0
     if missing:

@@ -491,6 +491,40 @@ def test_scale_bench_tool_end_to_end(tmp_path, monkeypatch):
     report4 = json.load(open(f"{wd}/report.json"))
     assert "resplit" in report4["stages_s"]
 
+    # a DIVERGENT replay (here: perturbed centroids; in production e.g.
+    # a forgotten non-default --balance-fudge) must refuse to write
+    # anything — neither shard inputs nor assignment.npy, which later
+    # resumes load on trust
+    from meme_search_engine_tpu.pipeline import processor as _proc
+
+    apath = os.path.join(wd, "assignment.npy")
+    os.remove(apath)
+    os.remove(os.path.join(wd, "shards", "shard_0.msgpack"))
+    import numpy as _np
+
+    _prng = _np.random.default_rng(0)
+    cents = _np.load(os.path.join(wd, "centroids.npy"))
+    bad = cents + 0.3 * _prng.standard_normal(cents.shape).astype(cents.dtype)
+    with pytest.raises(RuntimeError, match="divergent replay"):
+        _proc.regenerate_shard_inputs(
+            os.path.join(wd, "vectors.f16"), 400, bad,
+            os.path.join(wd, "shards"), balance_fudge=0.2,
+            assignment_path=apath,
+        )
+    assert not os.path.exists(apath)
+    assert not os.path.exists(os.path.join(wd, "shards", "shard_0.msgpack"))
+    # and the clean replay recovers byte-exactly after the failed one
+    _proc.regenerate_shard_inputs(
+        os.path.join(wd, "vectors.f16"), 400, cents,
+        os.path.join(wd, "shards"), balance_fudge=0.2,
+        assignment_path=apath,
+    )
+    assert (
+        open(os.path.join(wd, "shards", "shard_0.msgpack"), "rb").read()
+        == inputs[0]
+    )
+    assert os.path.exists(apath)
+
 
 def test_native_beam_search_matches_python(built_index):
     """The C++ disknav beam search (the GIL-free serving hot loop)
