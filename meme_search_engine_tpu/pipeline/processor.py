@@ -412,33 +412,124 @@ def regenerate_shard_inputs(
     }
 
 
+class PaddedAdjacency:
+    """Row-indexable adjacency over one padded int32 matrix.
+
+    ``adj[i]`` -> the node's merged row (a view, no copy). Replaces the
+    list-of-lists merge output: at 1e7 nodes x 420 shards the Python
+    representation held ~25 GB of int objects; this holds
+    ``n x cap x 4`` bytes (~2.6 GB at cap 64) — the difference between
+    the full-coverage 1e7 pack tail fitting in host RAM or not, and a
+    hard requirement for the 1e8 design point.
+    """
+
+    __slots__ = ("rows", "counts")
+
+    def __init__(self, rows: np.ndarray, counts: np.ndarray):
+        self.rows = rows
+        self.counts = counts
+
+    def __len__(self) -> int:
+        return len(self.counts)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.rows[i, : self.counts[i]]
+
+
 def merge_shard_adjacency(
     shard_outputs: Sequence[Tuple["object", List[np.ndarray]]],
     n_total: int,
     max_degree_per_shard: Optional[int] = None,
-) -> Tuple[List[List[int]], List[List[int]]]:
+) -> Tuple[PaddedAdjacency, PaddedAdjacency]:
     """Merge per-shard out-edges into global adjacency; each node appears
     in <=SHARD_SPILL shards (dump_processor.rs:218-304 read_out_vertices).
 
-    Returns (vertices per node, shard ids per node).
+    Returns (vertices per node, shard ids per node), both as
+    :class:`PaddedAdjacency`. Semantics (checked against a naive
+    list-of-lists oracle in test_disk_pipeline): per shard in input
+    order — map local edge ids to global via the shard's mapping,
+    drop local ids beyond the base mapping (OOD query rows), truncate
+    to ``max_degree_per_shard``, then append edges not already present
+    in the node's merged row from EARLIER shards (self-edges dropped;
+    duplicates within one shard's row pass through — shard rows are
+    unique post-prune). Vectorised per shard: rows are unpadded from
+    the blob by offset arithmetic, deduped against the existing merged
+    prefix with one broadcast compare, and scatter-appended at each
+    node's fill cursor.
     """
-    vertices: List[List[int]] = [[] for _ in range(n_total)]
-    node_shards: List[List[int]] = [[] for _ in range(n_total)]
+    # pass 1: per-node capacity = sum of its (truncated) shard row
+    # lengths; dedup only shrinks, so this bounds the merged row
+    cap_per_node = np.zeros(n_total, np.int64)
+    for header, _adjacency in shard_outputs:
+        m = len(header.mapping)
+        offs = np.asarray(header.offsets, np.int64)
+        lens = (offs[1 : m + 1] - offs[:m]) // 4
+        if max_degree_per_shard:
+            lens = np.minimum(lens, max_degree_per_shard)
+        # a node appears at most once per shard's mapping, so fancy
+        # add is safe (and np.add.at-equivalent)
+        cap_per_node[np.asarray(header.mapping[:m], np.int64)] += lens
+    cap = int(cap_per_node.max()) if n_total else 0
+    del cap_per_node
+
+    rows = np.full((n_total, cap), -1, np.int32)
+    counts = np.zeros(n_total, np.int32)
+    shard_rows = np.full((n_total, SHARD_SPILL), -1, np.int32)
+    shard_counts = np.zeros(n_total, np.int32)
+
     for header, adjacency in shard_outputs:
-        mapping = header.mapping
-        for local_id, row in enumerate(adjacency):
-            if local_id >= len(mapping):
-                break  # query-vector rows beyond the base mapping
-            gid = mapping[local_id]
-            row_global = [int(mapping[v]) for v in row if v < len(mapping)]
-            if max_degree_per_shard:
-                row_global = row_global[:max_degree_per_shard]
-            seen = set(vertices[gid])
-            vertices[gid].extend(
-                v for v in row_global if v not in seen and v != gid
-            )
-            node_shards[gid].append(header.id)
-    return vertices, node_shards
+        m = len(header.mapping)
+        if m == 0:
+            continue
+        mapping = np.asarray(header.mapping, np.int64)
+        base_rows = adjacency[:m]
+        lens = np.asarray([len(r) for r in base_rows], np.int64)
+        lmax = int(lens.max()) if m else 0
+        # unpad: local edge matrix with sentinel m (== "beyond mapping")
+        local = np.full((m, lmax), m, np.int64)
+        col_ok = np.arange(lmax)[None, :] < lens[:, None]
+        if lmax:
+            local[col_ok] = np.concatenate(base_rows).astype(np.int64)
+        # map to global ids; invalid locals (>= m, incl. sentinel) -> -1
+        valid = local < m
+        glob = np.where(valid, mapping[np.minimum(local, m - 1)], -1)
+        # compact mapping-valid edges to the left (preserving order),
+        # truncate, and only THEN drop self-edges — the list merge
+        # applies its row cap before the self/seen screening, so a
+        # self-edge inside the cap window consumes cap budget
+        keep = glob != -1
+        pos = keep.cumsum(1) - 1
+        packed = np.full((m, lmax), -1, np.int64)
+        rix = np.broadcast_to(np.arange(m)[:, None], keep.shape)
+        packed[rix[keep], pos[keep]] = glob[keep]
+        if max_degree_per_shard:
+            packed = packed[:, :max_degree_per_shard]
+        packed[packed == mapping[:, None]] = -1  # self-edges
+        fresh = packed != -1
+        if packed.shape[1]:
+            # dedup against each node's already-merged prefix only —
+            # duplicates INSIDE one shard row pass through, exactly as
+            # in the list merge (its seen-set is snapshotted before the
+            # row extends; shard rows are unique post-prune anyway)
+            existing = rows[mapping]  # (m, cap) gather
+            dup_prior = (
+                packed[:, :, None] == existing[:, None, :].astype(np.int64)
+            ).any(2)
+            fresh &= ~dup_prior
+        # scatter-append at each node's cursor
+        dst = counts[mapping].astype(np.int64)[:, None] + (
+            fresh.cumsum(1) - 1
+        )
+        flat = mapping[:, None] * cap + dst
+        rows.reshape(-1)[flat[fresh]] = packed[fresh].astype(np.int32)
+        counts[mapping] += fresh.sum(1).astype(np.int32)
+        shard_rows[mapping, shard_counts[mapping]] = header.id
+        shard_counts[mapping] += 1
+
+    return (
+        PaddedAdjacency(rows, counts),
+        PaddedAdjacency(shard_rows, shard_counts),
+    )
 
 
 def pack_index(

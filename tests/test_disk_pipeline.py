@@ -669,3 +669,83 @@ def test_resplit_regenerates_deleted_inputs_byte_exact(tmp_path):
         flat, N, centroids, shard_dir, assignment_path=None
     )
     assert input_bytes() == originals
+
+
+def test_merge_shard_adjacency_matches_list_oracle():
+    """The vectorised padded-array merge (processor.PaddedAdjacency —
+    the list-of-lists representation cost ~25 GB at 1e7x420 shards)
+    reproduces the naive per-row merge semantics exactly: mapping to
+    global ids, dropping OOD query rows and out-of-mapping locals,
+    per-shard degree truncation, self-edge removal, dedup against the
+    node's earlier-shard edges (within-row duplicates pass through —
+    the list merge snapshots its seen-set before extending), and
+    shard-id collection in input order."""
+    from meme_search_engine_tpu.pipeline.formats import ShardHeader
+
+    def oracle(shard_outputs, n_total, max_degree_per_shard=None):
+        vertices = [[] for _ in range(n_total)]
+        node_shards = [[] for _ in range(n_total)]
+        for header, adjacency in shard_outputs:
+            mapping = header.mapping
+            for local_id, row in enumerate(adjacency):
+                if local_id >= len(mapping):
+                    break
+                gid = mapping[local_id]
+                row_global = [
+                    int(mapping[v]) for v in row if v < len(mapping)
+                ]
+                if max_degree_per_shard:
+                    row_global = row_global[:max_degree_per_shard]
+                seen = set(vertices[gid])
+                vertices[gid].extend(
+                    v for v in row_global if v not in seen and v != gid
+                )
+                node_shards[gid].append(header.id)
+        return vertices, node_shards
+
+    rng = np.random.default_rng(42)
+    N = 400
+    # every node in exactly 2 of 6 shards (spill-2), plus ragged rows
+    # with self-edges, duplicate edges, and out-of-mapping local ids
+    assign = np.stack(
+        [rng.permutation(6)[:2] for _ in range(N)]
+    )
+    shard_outputs = []
+    for s in range(6):
+        mapping = np.nonzero((assign == s).any(axis=1))[0].tolist()
+        rng.shuffle(mapping)
+        m = len(mapping)
+        adjacency = []
+        for li in range(m):
+            deg = int(rng.integers(0, 7))
+            row = rng.integers(0, m + 3, deg)  # some >= m: invalid
+            if deg >= 2 and rng.random() < 0.5:
+                row[1] = row[0]  # duplicate within the row
+            if deg >= 1 and rng.random() < 0.3:
+                row[0] = li  # self-edge
+            adjacency.append(row.astype(np.uint32))
+        # two trailing OOD query rows the merge must ignore
+        for _ in range(2):
+            adjacency.append(rng.integers(0, m, 4).astype(np.uint32))
+        offsets = np.concatenate(
+            [[0], np.cumsum([4 * len(r) for r in adjacency])]
+        ).tolist()
+        shard_outputs.append(
+            (
+                ShardHeader(
+                    id=s, max=m, centroid=[0.0], medioid=0,
+                    offsets=offsets, mapping=mapping,
+                ),
+                adjacency,
+            )
+        )
+
+    for maxdeg in (None, 3):
+        want_v, want_s = oracle(shard_outputs, N, maxdeg)
+        got_v, got_s = processor.merge_shard_adjacency(
+            shard_outputs, N, maxdeg
+        )
+        assert len(got_v) == N and len(got_s) == N
+        for i in range(N):
+            assert got_v[i].tolist() == want_v[i], (maxdeg, i)
+            assert got_s[i].tolist() == want_s[i], (maxdeg, i)
