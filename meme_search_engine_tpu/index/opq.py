@@ -89,13 +89,21 @@ class ProductQuantizer:
 
     def quantize(self, x: np.ndarray) -> np.ndarray:
         """(B, D) -> (B, n_chunks) u8 codes (vector.rs:331-364)."""
-        codes = _quantize(
-            jnp.asarray(x, jnp.float32),
+        return np.asarray(self.quantize_async(x), np.uint8)
+
+    def quantize_async(self, x: np.ndarray) -> jax.Array:
+        """Dispatch :meth:`quantize` without fetching the result — the
+        bulk-pack loop prefetches the next batch's codes while the host
+        packs the current one. ``x`` is uploaded in its own dtype and
+        upcast in-graph: fp16 corpora (the pack tail's memmap) move half
+        the bytes over the host->device link for bit-identical codes
+        (fp16 -> fp32 widening is exact)."""
+        return _quantize(
+            jnp.asarray(x),
             jnp.asarray(self.transform),
             jnp.asarray(self.centroids),
             self.n_dims_per_code,
         )
-        return np.asarray(codes, np.uint8)
 
     def preprocess_query(self, query: np.ndarray) -> np.ndarray:
         """Query -> LUT (n_chunks, C) of per-chunk centroid dots
@@ -131,7 +139,10 @@ def _quantize(x, transform, centroids, n_dims_per_code):
     b, d = x.shape
     c = centroids.shape[0]
     n_chunks = d // n_dims_per_code
-    xt = jnp.dot(x, transform.T, preferred_element_type=jnp.float32)
+    xt = jnp.dot(
+        x.astype(jnp.float32), transform.T,
+        preferred_element_type=jnp.float32,
+    )
     xc = xt.reshape(b, n_chunks, n_dims_per_code)
     cc = centroids.reshape(c, n_chunks, n_dims_per_code)
     # (B, chunks, C) similarity per subspace in one batched MXU contraction

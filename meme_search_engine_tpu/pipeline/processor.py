@@ -554,15 +554,30 @@ def pack_index(
 
     from .descriptors import bucketize_scores
 
+    def read_batch(start: int) -> np.ndarray:
+        # rows in the corpus' own dtype: the fp16 tail memmap moves
+        # half the bytes to the device (quantize upcasts in-graph,
+        # bit-identical codes) and its raw rows serve the record
+        # vector field directly (encode_fp16_buffer on fp16 is a copy)
+        return np.ascontiguousarray(vectors[start : min(n, start + batch_size)])
+
     with open(os.path.join(out_dir, "index.bin"), "wb") as recf, open(
         os.path.join(out_dir, "index.pq-codes.bin"), "wb"
     ) as pqf, open(
         os.path.join(out_dir, "index.descriptor-codes.bin"), "wb"
     ) as descf:
+        next_batch = read_batch(0) if n else None
+        pending = quantizer.quantize_async(next_batch) if n else None
         for start in range(0, n, batch_size):
             end = min(n, start + batch_size)
-            batch = np.asarray(vectors[start:end], np.float32)
-            codes = quantizer.quantize(batch)
+            batch, codes_dev = next_batch, pending
+            next_batch = read_batch(end) if end < n else None
+            if next_batch is not None:
+                # dispatch the next upload+quantize before the host
+                # packs this batch: the device works behind the
+                # CPU-bound record loop
+                pending = quantizer.quantize_async(next_batch)
+            codes = np.asarray(codes_dev, np.uint8)
             pqf.write(np.ascontiguousarray(codes).tobytes())
 
             if scores is not None and descriptor_cdfs is not None:
