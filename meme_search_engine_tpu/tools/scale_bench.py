@@ -539,6 +539,20 @@ def main(argv=None):
         report["qps_vs_threads"][threads] = round(qps, 1)
         log(f"threads={threads}: {qps:.1f} QPS")
 
+    # the 1-thread pass above runs right after pack evicted the page
+    # cache (it measures mostly NVMe misses on a fresh index); re-run
+    # it once the sweep has warmed the beam working set so the table
+    # has the steady-state single-thread number too
+    t0 = time.time()
+    for q in qs:
+        idx.search(q, 20, beamwidth=args.beamwidth,
+                   search_list=args.search_list)
+    report["qps_1thread_rewarmed"] = round(
+        args.serve_queries / (time.time() - t0), 1
+    )
+    checkpoint_report()
+    log(f"threads=1 (rewarmed): {report['qps_1thread_rewarmed']} QPS")
+
     if not args.skip_eval and os.path.exists(flat_path):
         # recall@20 + rank stats vs the TPU brute-force oracle over the
         # flat fp16 corpus (query_disk_index.rs:225-343 eval semantics)
