@@ -492,7 +492,18 @@ def _encoder_fat(
         )
         return h, None
 
-    x, _ = jax.lax.scan(step, x, (blocks, wqkv_fat, bqkv_fat))
+    # MSE_SCAN_UNROLL: unroll factor for the layer scan. The marginal-
+    # cost probe (BENCHMARKS.md round-4) shows ~2.2 ms/layer of
+    # inter-kernel scheduling gap INSIDE the scan body; unrolling lets
+    # XLA overlap across layer boundaries at the cost of compile time
+    # (body is cloned k times). Default 1 = the measured production
+    # point; sweep on a quiet chip before changing.
+    unroll = int(os.environ.get("MSE_SCAN_UNROLL", "1"))
+    if len(blocks["ln1"]["g"]) % max(unroll, 1):
+        unroll = 1
+    x, _ = jax.lax.scan(
+        step, x, (blocks, wqkv_fat, bqkv_fat), unroll=max(unroll, 1)
+    )
     return x
 
 
