@@ -78,6 +78,28 @@ def _load_native():
         ]
         lib.disknav_close.argtypes = [ctypes.c_void_p]
         i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.pack_records.restype = ctypes.c_int64
+        lib.pack_records.argtypes = [
+            ctypes.c_char_p,                  # vec_bytes
+            ctypes.c_int64,                   # vec_nbytes per record
+            i32p,                             # verts (nrec, vcap)
+            i32p,                             # vcounts
+            ctypes.c_int64,                   # vcap
+            ctypes.c_int64,                   # id0
+            ctypes.POINTER(ctypes.c_int64),   # timestamps
+            ctypes.POINTER(ctypes.c_int64),   # dims (nrec, 2)
+            ctypes.POINTER(ctypes.c_double),  # scores (nrec, nscores)
+            ctypes.c_int64,                   # nscores
+            ctypes.c_char_p,                  # urls (concatenated utf8)
+            ctypes.POINTER(ctypes.c_int64),   # url_offs (nrec+1)
+            i32p,                             # shards (nrec, scap)
+            i32p,                             # shard_counts
+            ctypes.c_int64,                   # scap
+            ctypes.c_int64,                   # nrec
+            ctypes.c_int64,                   # pad_size
+            ctypes.c_char_p,                  # out (nrec * pad_size)
+            ctypes.c_char_p,                  # dead (nrec)
+        ]
         lib.stitch_refill.restype = None
         lib.stitch_refill.argtypes = [
             i32p,             # graph (n, r)
@@ -296,6 +318,83 @@ def native_stitch_refill(
         r,
     )
     return True
+
+
+def native_pack_records(
+    vec_bytes,        # (nrec, d) fp16 C-contiguous — raw record payload
+    verts_rows,       # (nrec, vcap) int32 padded
+    vert_counts,      # (nrec,) int32
+    id0: int,
+    timestamps,       # (nrec,) int64
+    dims,             # (nrec, 2) int64
+    scores,           # (nrec, nscores) float64 or None
+    urls,             # sequence of str
+    shard_rows,       # (nrec, scap) int32 padded
+    shard_counts,     # (nrec,) int32
+    pad_size: int,
+):
+    """Pack a batch of index records natively (native/pack.cpp).
+
+    Returns ``(records_bytes, dead_bool_array)`` — byte-identical to a
+    loop of ``PackedIndexEntry.pack_ex`` (parity-tested) — or ``None``
+    when the native library is unavailable (caller falls back).
+    Raises ValueError when a record exceeds the pad even with its URL
+    dropped, mirroring the python packer.
+    """
+    import numpy as np
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    nrec = len(vert_counts)
+    vec_bytes = np.ascontiguousarray(vec_bytes)
+    assert vec_bytes.ndim == 2 and len(vec_bytes) == nrec
+    verts_rows = np.ascontiguousarray(verts_rows, np.int32)
+    vert_counts = np.ascontiguousarray(vert_counts, np.int32)
+    shard_rows = np.ascontiguousarray(shard_rows, np.int32)
+    shard_counts = np.ascontiguousarray(shard_counts, np.int32)
+    timestamps = np.ascontiguousarray(timestamps, np.int64)
+    dims = np.ascontiguousarray(dims, np.int64)
+    if scores is None:
+        nscores = 0
+        scores_arr = np.zeros((nrec, 0), np.float64)
+    else:
+        scores_arr = np.ascontiguousarray(scores, np.float64)
+        nscores = scores_arr.shape[1]
+    encoded = [u.encode("utf-8") for u in urls]
+    url_blob = b"".join(encoded)
+    url_offs = np.zeros(nrec + 1, np.int64)
+    np.cumsum([len(e) for e in encoded], out=url_offs[1:])
+    out = ctypes.create_string_buffer(nrec * pad_size)
+    dead = np.zeros(nrec, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    ndead = lib.pack_records(
+        vec_bytes.ctypes.data_as(ctypes.c_char_p),
+        vec_bytes.strides[0],
+        verts_rows.ctypes.data_as(i32p),
+        vert_counts.ctypes.data_as(i32p),
+        verts_rows.shape[1],
+        id0,
+        timestamps.ctypes.data_as(i64p),
+        dims.ctypes.data_as(i64p),
+        scores_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        nscores,
+        url_blob,
+        url_offs.ctypes.data_as(i64p),
+        shard_rows.ctypes.data_as(i32p),
+        shard_counts.ctypes.data_as(i32p),
+        shard_rows.shape[1],
+        nrec,
+        pad_size,
+        out,
+        dead.ctypes.data_as(ctypes.c_char_p),
+    )
+    if ndead < 0:
+        raise ValueError(
+            f"record {id0 + (-1 - ndead)} exceeds pad size even without URL"
+        )
+    return out.raw, dead.astype(bool)
 
 
 def open_reader(path: str, record_size: int, prefer_native: bool = True):

@@ -590,25 +590,63 @@ def pack_index(
                 desc = np.zeros((end - start, 4), np.uint8)
             descf.write(desc.tobytes())
 
-            for i in range(start, end):
-                m = manifest[i]
-                entry = PackedIndexEntry(
-                    id=i,
-                    vector=batch[i - start],
-                    vertices=vertices[i],
-                    timestamp=m["timestamp"],
-                    dimensions=tuple(m.get("dimensions", (0, 0))),
-                    scores=(
-                        [float(s) for s in scores[i]]
-                        if scores is not None
-                        else []
+            wrote_native = False
+            if (
+                isinstance(vertices, PaddedAdjacency)
+                and isinstance(node_shards, PaddedAdjacency)
+                and os.environ.get("MSE_NATIVE_PACK", "1") != "0"
+            ):
+                # bulk path: one GIL-free C call per batch
+                # (native/pack.cpp), byte-identical to the loop below
+                # (parity-tested); the padded adjacency feeds it with
+                # zero per-record listification
+                from ..index.native_io import native_pack_records
+
+                ms = manifest[start:end]
+                out = native_pack_records(
+                    batch.astype("<f2", copy=False),
+                    vertices.rows[start:end],
+                    vertices.counts[start:end],
+                    start,
+                    np.asarray([m["timestamp"] for m in ms], np.int64),
+                    np.asarray(
+                        [m.get("dimensions", (0, 0)) for m in ms], np.int64
                     ),
-                    url=m["url"],
-                    shards=node_shards[i],
+                    (
+                        scores[start:end].astype(np.float64)
+                        if scores is not None
+                        else None
+                    ),
+                    [m["url"] for m in ms],
+                    node_shards.rows[start:end],
+                    node_shards.counts[start:end],
+                    RECORD_PAD_SIZE,
                 )
-                packed, is_dead = entry.pack_ex(RECORD_PAD_SIZE)
-                dead += is_dead
-                recf.write(packed)
+                if out is not None:
+                    raw, dead_flags = out
+                    dead += int(dead_flags.sum())
+                    recf.write(raw)
+                    wrote_native = True
+            if not wrote_native:
+                for i in range(start, end):
+                    m = manifest[i]
+                    entry = PackedIndexEntry(
+                        id=i,
+                        vector=batch[i - start],
+                        vertices=vertices[i],
+                        timestamp=m["timestamp"],
+                        dimensions=tuple(m.get("dimensions", (0, 0))),
+                        scores=(
+                            [float(s) for s in scores[i]]
+                            if scores is not None
+                            else []
+                        ),
+                        url=m["url"],
+                        shards=node_shards[i],
+                    )
+                    packed, is_dead = entry.pack_ex(RECORD_PAD_SIZE)
+                    dead += is_dead
+                    recf.write(packed)
 
     header = IndexHeader(
         shards=[

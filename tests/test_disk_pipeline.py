@@ -749,3 +749,113 @@ def test_merge_shard_adjacency_matches_list_oracle():
         for i in range(N):
             assert got_v[i].tolist() == want_v[i], (maxdeg, i)
             assert got_s[i].tolist() == want_s[i], (maxdeg, i)
+
+
+def test_native_pack_records_byte_parity():
+    """native/pack.cpp emits byte-identical records to
+    PackedIndexEntry.pack_ex across the msgpack width breakpoints
+    (fixint/uint8/16/32/64, fixstr/str8/16, bin, fixarray/array16) and
+    the oversize-URL dead path (dump_processor.rs:510-517)."""
+    from meme_search_engine_tpu.index.native_io import native_pack_records
+
+    rng = np.random.default_rng(0)
+    n, d, pad = 300, 96, 1024
+    ids0 = 120  # batch crosses the 127/128 fixint boundary
+    verts = np.full((n, 70), -1, np.int32)
+    vcounts = np.zeros(n, np.int32)
+    shards = np.full((n, 2), -1, np.int32)
+    scounts = np.zeros(n, np.int32)
+    urls, ts, dims = [], [], []
+    scores = rng.standard_normal((n, 3)).astype(np.float32)
+    breakvals = [0, 1, 127, 128, 255, 256, 65535, 65536, 2**31 - 1]
+    for i in range(n):
+        nv = int(rng.integers(0, 70))
+        row = rng.choice(
+            breakvals + list(rng.integers(0, 10**7, 20)), nv
+        )
+        verts[i, :nv] = np.asarray(row, np.int64).astype(np.int32)
+        vcounts[i] = nv
+        ns = int(rng.integers(1, 3))
+        shards[i, :ns] = rng.integers(0, 4200, ns)
+        scounts[i] = ns
+        ts.append(int(rng.choice(breakvals + [2**32, 2**34])))
+        dims.append([int(rng.integers(0, 70000)), int(rng.integers(0, 70000))])
+        urls.append("u" * int(rng.choice([0, 5, 31, 32, 255, 256, 700])))
+    vecs = rng.standard_normal((n, d)).astype(np.float16)
+
+    want, want_dead = [], []
+    for i in range(n):
+        e = PackedIndexEntry(
+            id=ids0 + i, vector=vecs[i], vertices=verts[i, : vcounts[i]],
+            timestamp=ts[i], dimensions=tuple(dims[i]),
+            scores=[float(s) for s in scores[i]], url=urls[i],
+            shards=shards[i, : scounts[i]],
+        )
+        raw, is_dead = e.pack_ex(pad)
+        want.append(raw)
+        want_dead.append(is_dead)
+
+    out = native_pack_records(
+        vecs, verts, vcounts, ids0, np.asarray(ts, np.int64),
+        np.asarray(dims, np.int64), scores.astype(np.float64), urls,
+        shards, scounts, pad,
+    )
+    if out is None:
+        pytest.skip("native library unavailable")
+    got, got_dead = out
+    assert got == b"".join(want)
+    assert list(got_dead) == want_dead
+    assert sum(want_dead) > 0  # the fixture must exercise the dead path
+
+
+def test_pack_index_native_matches_python(tmp_path, monkeypatch):
+    """pack_index with the native bulk packer writes a byte-identical
+    index.bin (and identical header dead count) to the per-record
+    python loop."""
+    rng = np.random.default_rng(7)
+    n, d = 257, 64
+    vectors = rng.standard_normal((n, d)).astype(np.float16)
+    rows = np.full((n, 8), -1, np.int32)
+    counts = rng.integers(0, 8, n).astype(np.int32)
+    for i in range(n):
+        rows[i, : counts[i]] = rng.integers(0, n, counts[i])
+    srows = np.full((n, 2), -1, np.int32)
+    scounts = np.ones(n, np.int32)
+    srows[:, 0] = rng.integers(0, 3, n)
+    vertices = processor.PaddedAdjacency(rows, counts)
+    node_shards = processor.PaddedAdjacency(srows, scounts)
+    manifest = [
+        {
+            "timestamp": 1700000000 + i,
+            "url": ("https://x.test/" + "a" * 4096) if i == 5 else f"https://x.test/{i}",
+            "dimensions": (64, 48),
+        }
+        for i in range(n)
+    ]
+    pq = train_opq(
+        vectors.astype(np.float32),
+        rng.standard_normal((16, d)).astype(np.float32),
+        n_chunks=8, n_centroids=16, outer_iters=1, adam_iters=5,
+        batch_size=n, query_batch_size=16,
+    )
+    cents = rng.standard_normal((3, d)).astype(np.float32)
+    meds = [0, 1, 2]
+
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("MSE_NATIVE_PACK", mode)
+        out_dir = str(tmp_path / f"idx{mode}")
+        hdr = processor.pack_index(
+            out_dir, vectors, vertices, node_shards, manifest, pq,
+            cents, meds, batch_size=100,
+        )
+        outs[mode] = (
+            open(os.path.join(out_dir, "index.bin"), "rb").read(),
+            hdr.dead_count,
+        )
+    from meme_search_engine_tpu.index.native_io import _load_native
+
+    if _load_native() is None:
+        pytest.skip("native library unavailable")
+    assert outs["1"][0] == outs["0"][0]
+    assert outs["1"][1] == outs["0"][1] == 1  # the oversize URL at i=5
