@@ -130,6 +130,14 @@ def main(argv=None):
     ap.add_argument("--build-batch", type=int, default=1024)
     ap.add_argument("--build-expand", type=int, default=2)
     ap.add_argument("--eval-queries", type=int, default=512)
+    ap.add_argument(
+        "--eval-queries-allshards",
+        type=int,
+        default=64,
+        help="subsample scored under the reference's evaluate-mode "
+        "protocol (union of beams from every shard start, "
+        "query_disk_index.rs:280-343) — costs n_shards searches/query",
+    )
     ap.add_argument("--serve-queries", type=int, default=256)
     ap.add_argument("--search-list", type=int, default=500)
     ap.add_argument("--beamwidth", type=int, default=4)
@@ -635,6 +643,26 @@ def main(argv=None):
             report["eval"]["recall_at_20_covered"] = round(
                 hits_cov / denom_cov, 4
             )
+        # the single-start numbers above use the SERVE-mode protocol
+        # (one beam from the best shard) — stricter than the
+        # reference's evaluate mode, which unions beams from EVERY
+        # shard start and takes per-position best ranks
+        # (query_disk_index.rs:280-343). Score that protocol too, on a
+        # subsample (it costs n_shards searches per query).
+        n_as = min(args.eval_queries_allshards, len(eval_q))
+        if n_as:
+            hits_as = 0
+            for qi in range(n_as):
+                results, _c = idx.search_all_shards(
+                    eval_q[qi], 20, beamwidth=args.beamwidth,
+                    search_list=args.search_list, dedup=False,
+                )
+                found = {r.id for r in results}
+                hits_as += len(found & set(gt_i[qi, :20].tolist()))
+            report["eval"]["recall_at_20_allshards"] = round(
+                hits_as / (n_as * 20), 4
+            )
+            report["eval"]["allshards_queries"] = n_as
         report["stages_s"]["eval"] = round(time.time() - t0, 1)
         log(f"eval: {report['eval']}")
 
