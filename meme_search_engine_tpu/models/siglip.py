@@ -439,7 +439,10 @@ def _encoder_fat(
             k_mask=(n_valid, num_heads, c, dh),
         )
         # MSE_ATTN_NQ sweeps the attention kernel's q-block count (grid
-        # programs per batch row) without code edits, like MSE_MLP_*
+        # programs per batch row) without code edits, like MSE_MLP_*.
+        # Round-4 sweep: nq=1 is VMEM-illegal (scoped OOM 18.79 MB at a
+        # full-sequence q-block), nq=4 is ~11% slower (K/V re-fetch);
+        # default 2 is the measured optimum (BENCHMARKS.md).
         attn_nq = int(os.environ.get("MSE_ATTN_NQ", "2"))
         if sp % attn_nq or (sp // attn_nq) % 8:
             attn_nq = 2
@@ -492,12 +495,13 @@ def _encoder_fat(
         )
         return h, None
 
-    # MSE_SCAN_UNROLL: unroll factor for the layer scan. The marginal-
-    # cost probe (BENCHMARKS.md round-4) shows ~2.2 ms/layer of
-    # inter-kernel scheduling gap INSIDE the scan body; unrolling lets
-    # XLA overlap across layer boundaries at the cost of compile time
-    # (body is cloned k times). Default 1 = the measured production
-    # point; sweep on a quiet chip before changing.
+    # MSE_SCAN_UNROLL: unroll factor for the layer scan. Measured
+    # negative (BENCHMARKS.md round-4 sweep): unroll=3 235.8 img/s vs
+    # 237.9 default, and unroll=9 fails compile (scoped-VMEM stacks of
+    # the cloned resident-MLP bodies stop sharing, 18.21 MB > 16 MB).
+    # XLA does not overlap across cloned scan bodies here, so the
+    # ~2.2 ms/layer in-graph gap needs kernel-boundary fusion instead.
+    # Knob kept for other geometries.
     unroll = int(os.environ.get("MSE_SCAN_UNROLL", "1"))
     if len(blocks["ln1"]["g"]) % max(unroll, 1):
         unroll = 1

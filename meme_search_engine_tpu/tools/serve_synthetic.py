@@ -44,7 +44,17 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--d", type=int, default=1152)
     ap.add_argument("--port", type=int, default=1707)
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (leave the TPU free for other jobs)",
+    )
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from aiohttp import web
 
@@ -63,6 +73,11 @@ def main(argv=None):
     index.search(vecs[:1].astype(np.float32), 1000)
 
     app = make_app(handle, _RawOnlyEmbedder(args.d))
+    # serve the SPA too (GET /ui) so a browser can drive the whole stack
+    # — the real-browser smoke recipe in tests/test_frontend.py uses this
+    from ..serving.frontend import attach_frontend
+
+    attach_frontend(app)
     print(f"serving {args.n} synthetic vectors on :{args.port}", flush=True)
     web.run_app(app, port=args.port, loop=asyncio.new_event_loop())
 

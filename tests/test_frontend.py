@@ -14,7 +14,9 @@ exists in this environment, so the checks are split:
   which this environment does not have (no chromium/webkit/node) —
   environment-gated like docker and the live scrapers. To run it
   elsewhere: ``python -m meme_search_engine_tpu.tools.serve_synthetic
-  --n 2000 --d 64 --port 17171`` then load
+  --n 2000 --d 64 --port 17171 --cpu`` (serve_synthetic attaches the
+  SPA at /ui; verified over HTTP: config-injected HTML with
+  ``id="results"`` serves, and GET / returns the init JSON) then load
   ``http://127.0.0.1:17171/ui?e=<urlsafe-b64 fp16>`` and assert the
   status line shows result counts and ``#results .col .tile`` nodes
   render.
