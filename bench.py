@@ -95,4 +95,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    from meme_search_engine_tpu.utils.tpu_lease import acquire
+
+    # if a long-running build (scale_bench) holds the chip, pause it at
+    # its next safe point so the headline is measured on a quiet chip;
+    # stderr only — stdout stays the single JSON line
+    _release = acquire(
+        timeout_s=2700.0, log=lambda m: print(m, file=sys.stderr)
+    )
+    try:
+        main()
+    finally:
+        _release()

@@ -194,6 +194,7 @@ def train_opq(
     lr: float = 5e-4,
     seed: int = 0,
     verbose: bool = False,
+    pause_point=None,  # chip-handoff safe point (utils/tpu_lease.py)
 ) -> ProductQuantizer:
     """Query-aware OPQ training (aopq_train.py flow, jitted).
 
@@ -278,6 +279,8 @@ def train_opq(
     for outer in range(outer_iters):
         opt_state = opt.init(centroids)
         for _it in range(adam_iters):
+            if pause_point is not None and _it % 16 == 0:
+                pause_point()
             key, qkey = jax.random.split(key)
             centroids, opt_state, loss = adam_epoch(
                 centroids, opt_state, projection, qkey, x_batched, q_dev

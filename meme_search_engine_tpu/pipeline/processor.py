@@ -19,7 +19,7 @@ import collections
 import hashlib
 import os
 from dataclasses import dataclass, field
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -545,6 +545,7 @@ def pack_index(
     scores: Optional[np.ndarray] = None,  # (N, n_channels) quality scores
     descriptor_cdfs: Optional[List[np.ndarray]] = None,
     batch_size: int = 8192,
+    pause_point: Optional[Callable[[], None]] = None,
 ) -> IndexHeader:
     """Write index.bin / index.pq-codes.bin / index.descriptor-codes.bin /
     index.msgpack (dump_processor.rs:463-569)."""
@@ -569,6 +570,10 @@ def pack_index(
         next_batch = read_batch(0) if n else None
         pending = quantizer.quantize_async(next_batch) if n else None
         for start in range(0, n, batch_size):
+            if pause_point is not None:
+                # chip-handoff safe point (utils/tpu_lease.py): the
+                # pack tail holds the device for 20-40 min at 1e7
+                pause_point()
             end = min(n, start + batch_size)
             batch, codes_dev = next_batch, pending
             next_batch = read_batch(end) if end < n else None

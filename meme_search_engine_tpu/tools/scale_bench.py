@@ -22,6 +22,7 @@ import time
 
 import numpy as np
 
+from ..utils import tpu_lease
 from ..utils.mallctl import malloc_trim, rss_kb
 
 D_EMB = 1152
@@ -229,6 +230,11 @@ def main(argv=None):
 
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
+    # long-running chip holder: advertise for cooperative handoff and
+    # check for PAUSE requests at every safe point below (bench.py
+    # acquires the chip this way; see utils/tpu_lease.py)
+    tpu_lease.advertise(wd)
+    pause_point = lambda: tpu_lease.pause_point(log)  # noqa: E731
     report = {"n": args.n, "clusters": args.clusters, "stages_s": {}}
     report_path = os.path.join(wd, "report.json")
     if os.path.exists(report_path):
@@ -302,6 +308,7 @@ def main(argv=None):
             os.remove(dump_path)
     if args.stage == "prep":
         log("prep stage complete (kmeans + split); exiting")
+        tpu_lease.clear()
         return
     manifest = list(np.load(manifest_path, allow_pickle=True))
     n_total = len(manifest)
@@ -325,6 +332,7 @@ def main(argv=None):
         report["stages_s"]["resplit"] = round(time.time() - t0, 1)
         checkpoint_report()
         log(f"resplit: {summary} in {report['stages_s']['resplit']}s")
+        tpu_lease.clear()
         return
 
     # --- OOD query vectors (generate_index_shard.rs:71-94) -----------------
@@ -347,6 +355,7 @@ def main(argv=None):
                 shard_outputs.append(read_shard_output(out_path))
             continue
         if not os.path.exists(out_path):
+            pause_point()
             if (
                 args.max_build_records
                 and records_this_run >= args.max_build_records
@@ -435,6 +444,7 @@ def main(argv=None):
             log("collecting vectors for OPQ/pack")
             vectors = np.zeros((n_total, D_EMB), np.float16)
             for s in range(args.clusters):
+                pause_point()
                 in_path = os.path.join(shard_dir, f"shard_{s}.msgpack")
                 if not os.path.exists(in_path):
                     continue
@@ -463,6 +473,7 @@ def main(argv=None):
         # a restarted tail (crash mid-pack, partial-tail -> full-tail
         # rerun) reloads instead of re-paying ~530 s at 1e7
         opq_ckpt = os.path.join(wd, "opq.msgpack")
+        pause_point()
         if os.path.exists(opq_ckpt):
             with open(opq_ckpt, "rb") as f:
                 pq = ProductQuantizer.from_msgpack(f.read())
@@ -478,6 +489,7 @@ def main(argv=None):
                 n_centroids=args.pq_centroids,
                 outer_iters=2,
                 adam_iters=120,
+                pause_point=pause_point,
             )
             with open(opq_ckpt + ".tmp", "wb") as f:
                 f.write(pq.to_msgpack())
@@ -505,6 +517,7 @@ def main(argv=None):
             [h.mapping[h.medioid] for h, _ in shard_outputs],
             scores=scores,
             descriptor_cdfs=cdfs,
+            pause_point=pause_point,
         )
         report["stages_s"]["pack"] = round(time.time() - t0, 1)
         checkpoint_report()
@@ -524,6 +537,7 @@ def main(argv=None):
     qs = _hier_points(fines, qc, qrng)
 
     # warm the page cache & jit
+    pause_point()
     for q in qs[:8]:
         idx.search(q, 20, beamwidth=args.beamwidth,
                    search_list=args.search_list)
@@ -577,6 +591,7 @@ def main(argv=None):
             corpus_dev = jnp.asarray(corpus)  # upload once (tunnel is slow)
             gt_i = []
             for start in range(0, len(eval_q), 64):
+                pause_point()
                 _s, i = mips_topk(
                     corpus_dev, jnp.asarray(eval_q[start : start + 64]),
                     1000, tile=min(n_total, 262_144),
@@ -590,6 +605,7 @@ def main(argv=None):
 
             def slabs():
                 for s0 in range(0, n_total, slab):
+                    pause_point()
                     yield corpus[s0 : s0 + slab], s0
 
             _s, gt_i = streamed_mips_topk(
@@ -667,6 +683,7 @@ def main(argv=None):
         log(f"eval: {report['eval']}")
 
     checkpoint_report()
+    tpu_lease.clear()
     print(json.dumps(report))
 
 
