@@ -22,6 +22,18 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _isolate_tpu_lease(tmp_path, monkeypatch):
+    """Point the chip-handoff busy file at a per-test path so tests that
+    drive scale_bench can't clobber (or clear) the advertisement of a
+    real build running on this host (utils/tpu_lease.py)."""
+    from meme_search_engine_tpu.utils import tpu_lease
+
+    monkeypatch.setattr(
+        tpu_lease, "BUSY_PATH", str(tmp_path / "tpu_busy.json")
+    )
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -526,6 +526,58 @@ def test_scale_bench_tool_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(apath)
 
 
+def test_scale_bench_max_build_records_resume_loop(tmp_path, monkeypatch):
+    """The leak-cap resume protocol: with --max-build-records, each pass
+    builds shards until the record budget is hit, exits with code 3, and
+    a fresh invocation (run_build.sh's loop) picks up where it left off;
+    the final pass (no shards left) runs the tail and completes. This is
+    exactly how the real 1e7 run executes (~40 shards per pass around
+    the tunnel-plugin RSS leak, BENCHMARKS.md); here the budget forces
+    one shard per pass. Also checks the tpu_lease advertisement
+    lifecycle: busy while a pass is live-ish, cleared on completion."""
+    import json
+
+    from meme_search_engine_tpu.tools import scale_bench
+    from meme_search_engine_tpu.utils import tpu_lease
+
+    monkeypatch.setattr(
+        tpu_lease, "BUSY_PATH", str(tmp_path / "busy.json")
+    )
+    wd = str(tmp_path / "scale")
+    argv = [
+        "--workdir", wd, "--n", "400", "--clusters", "3",
+        "--r", "8", "--l", "16", "--maxc", "32", "--build-batch", "128",
+        "--serve-queries", "8", "--eval-queries", "8",
+        "--search-list", "64", "--beamwidth", "2",
+        "--pq-chunks", "8", "--pq-centroids", "16", "--ood-queries", "16",
+        "--eval-queries-allshards", "0",
+        "--max-build-records", "1",  # any built shard exceeds it
+    ]
+    exit3s = 0
+    for _pass in range(10):
+        try:
+            scale_bench.main(argv)
+            break  # completed (tail ran)
+        except SystemExit as e:
+            assert e.code == 3
+            exit3s += 1
+            # mid-run: the busy advertisement names this process
+            busy = json.load(open(tpu_lease.BUSY_PATH))
+            assert busy["pid"] == os.getpid()
+            assert busy["workdir"] == wd
+    else:
+        pytest.fail("resume loop did not converge in 10 passes")
+    # 3 clusters -> >=2 build passes (one shard each, budget 1 record,
+    # plus possibly a builds-complete exit before the tail pass)
+    assert exit3s >= 3
+    report = json.load(open(f"{wd}/report.json"))
+    assert report["eval"]["recall_at_20"] > 0.3
+    # stage timings accumulated across the restarts
+    assert report["stages_s"]["shard_builds"] > 0
+    # completion clears the advertisement
+    assert not os.path.exists(tpu_lease.BUSY_PATH)
+
+
 def test_native_beam_search_matches_python(built_index):
     """The C++ disknav beam search (the GIL-free serving hot loop)
     returns identical ranked results and counters to the Python
