@@ -355,6 +355,11 @@ def native_pack_records(
     shard_counts = np.ascontiguousarray(shard_counts, np.int32)
     timestamps = np.ascontiguousarray(timestamps, np.int64)
     dims = np.ascontiguousarray(dims, np.int64)
+    if dims.shape != (nrec, 2):
+        # native pack hard-codes a 2-element dimensions array; the
+        # Python packer encodes whatever length the manifest holds, so
+        # anything else must take the fallback loop to keep byte parity
+        return None
     if scores is None:
         nscores = 0
         scores_arr = np.zeros((nrec, 0), np.float64)

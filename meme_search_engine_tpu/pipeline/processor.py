@@ -299,6 +299,7 @@ def regenerate_shard_inputs(
     batch_size: int = 4096,
     assignment_path: Optional[str] = None,
     verify_built: bool = True,
+    allow_unverified: bool = False,
 ) -> dict:
     """Rebuild missing shard input files from the flat fp16 corpus.
 
@@ -372,9 +373,20 @@ def regenerate_shard_inputs(
             verified += 1
 
     # persist the replayed assignment only AFTER it verifies against
-    # every built graph: saving first would poison later resumes with a
-    # divergent replay (e.g. a forgotten non-default --balance-fudge),
-    # which the loader takes on trust
+    # AT LEAST ONE built graph: saving first would poison later resumes
+    # with a divergent replay (e.g. a forgotten non-default
+    # --balance-fudge), which the loader takes on trust. With zero
+    # built graphs there is nothing to check a replay against, so a
+    # divergent replay would pass silently — refuse instead (resplit
+    # only makes sense mid-build, when graphs exist; a fresh split goes
+    # through split_to_shards).
+    if replayed and verified == 0 and not allow_unverified:
+        raise RuntimeError(
+            "replayed shard assignment has no built graphs to verify "
+            "against — refusing to persist it or regenerate inputs "
+            "(pass allow_unverified=True to override, or run the "
+            "normal split stage instead)"
+        )
     if replayed and assignment_path:
         np.save(assignment_path, assignment)
 
@@ -520,6 +532,15 @@ def merge_shard_adjacency(
         dst = counts[mapping].astype(np.int64)[:, None] + (
             fresh.cumsum(1) - 1
         )
+        # pass 1 sized cap from header.offsets; this pass scatters by
+        # the decoded rows' actual lengths — any disagreement (a
+        # malformed shard file) would silently corrupt the next node's
+        # merged row via the flat reshape below, so fail loudly instead
+        if fresh.any() and int(dst[fresh].max()) >= cap:
+            raise ValueError(
+                f"shard {header.id}: decoded adjacency rows exceed the "
+                "offset-derived capacity — malformed shard output"
+            )
         flat = mapping[:, None] * cap + dst
         rows.reshape(-1)[flat[fresh]] = packed[fresh].astype(np.int32)
         counts[mapping] += fresh.sum(1).astype(np.int32)
@@ -608,15 +629,19 @@ def pack_index(
                 from ..index.native_io import native_pack_records
 
                 ms = manifest[start:end]
-                out = native_pack_records(
+                dims_list = [m.get("dimensions", (0, 0)) for m in ms]
+                # the native packer requires (nrec, 2) dimensions; a
+                # manifest with any other length (or ragged rows, which
+                # np.asarray would raise on) takes the Python loop —
+                # it encodes arbitrary lengths
+                dims_ok = all(len(dd) == 2 for dd in dims_list)
+                out = None if not dims_ok else native_pack_records(
                     batch.astype("<f2", copy=False),
                     vertices.rows[start:end],
                     vertices.counts[start:end],
                     start,
                     np.asarray([m["timestamp"] for m in ms], np.int64),
-                    np.asarray(
-                        [m.get("dimensions", (0, 0)) for m in ms], np.int64
-                    ),
+                    np.asarray(dims_list, np.int64),
                     (
                         scores[start:end].astype(np.float64)
                         if scores is not None

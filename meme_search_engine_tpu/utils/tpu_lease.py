@@ -125,14 +125,46 @@ def acquire(
     pause = os.path.join(workdir, "PAUSE")
     ack = os.path.join(workdir, "PAUSED")
     t0 = time.time()
-    with open(pause, "w"):
-        pass
+    # An operator may have paused the build by hand (CLAUDE.md protocol:
+    # touch PAUSE, wait for PAUSED). Don't clobber that hold: only
+    # create PAUSE if it doesn't exist, and only remove it on release
+    # if we created it.
+    created_pause = not os.path.exists(pause)
+    if created_pause:
+        try:
+            with open(pause, "w"):
+                pass
+        except OSError:
+            # stale busy file whose advertised workdir is gone (e.g. a
+            # cleaned-up .scale1e7): nothing can be holding the chip
+            # through it — treat as no holder rather than crashing the
+            # caller before it measures
+            if not _alive(pid):
+                try:
+                    os.remove(BUSY_PATH)
+                except OSError:
+                    pass
+            elif log:
+                log(
+                    f"tpu_lease: holder pid {pid} alive but workdir "
+                    f"{workdir} unwritable; proceeding unpaused"
+                )
+            return lambda: None
     if log:
         log(f"tpu_lease: pausing holder pid {pid} ({workdir})")
     acquired = False
     while time.time() - t0 < timeout_s:
         try:
-            if os.path.getmtime(ack) >= t0 - 1.0:
+            ack_mtime = os.path.getmtime(ack)
+            # fresh ack (holder parked in response to our PAUSE), or a
+            # pre-existing manual hold: PAUSE predates us and the live
+            # holder already acked it — it sits at a safe point and a
+            # sleeping holder never refreshes the ack's mtime, so a
+            # freshness test alone would poll the full timeout with the
+            # chip idle
+            if ack_mtime >= t0 - 1.0 or (
+                not created_pause and _alive(pid)
+            ):
                 acquired = True
                 break
         except OSError:
@@ -160,6 +192,11 @@ def acquire(
             )
 
     def release() -> None:
+        # leave a manual operator hold in place: removing a PAUSE this
+        # client didn't create would resume a build the operator wanted
+        # held
+        if not created_pause:
+            return
         try:
             os.remove(pause)
         except OSError:
