@@ -202,3 +202,35 @@ def test_spa_search_roundtrip_and_fields(app, spa_html):
             await client.close()
 
     _run(run())
+
+
+def test_about_page_and_telemetry_opt_out_contract(spa_html):
+    """About view + persisted telemetry opt-out (clipfront2 About.svelte,
+    util.js:32-43): the nav toggle and about section exist, the beacon
+    is gated on BOTH the config flag and the localStorage opt-out key,
+    and the checkbox persists to the same key it reads."""
+    # nav + view markup
+    assert 'id="aboutToggle"' in spa_html
+    assert 'id="about"' in spa_html
+    assert 'id="aboutText"' in spa_html  # config about_html override target
+    # privacy block with the opt-out checkbox
+    assert 'id="telemetryOptIn"' in spa_html
+    assert 'type="checkbox" id="telemetryOptIn"' in spa_html
+    # the beacon path consults the opt-out helper, which reads the
+    # persisted key with default-on semantics ("false" disables)
+    assert re.search(
+        r"function telemetry\(event, data\) \{\s*"
+        r"if \(!telemetryEnabled\(\)\) return;",
+        spa_html,
+    ), "telemetry() must gate on telemetryEnabled()"
+    assert re.search(
+        r"function telemetryEnabled\(\) \{\s*return CONFIG\.telemetry &&"
+        r"\s*localStorage\.getItem\(\"telemetryEnabled\"\) !== \"false\";",
+        spa_html,
+    ), "opt-out must read localStorage telemetryEnabled with default-on"
+    # the checkbox writes the same key it reads
+    assert 'localStorage.setItem(\n    "telemetryEnabled"' in spa_html
+    assert 'localStorage.getItem("telemetryEnabled") !== "false"' in spa_html
+    # CONFIG.telemetry=false hides the privacy toggle entirely (the
+    # reference hides it when no telemetry_endpoint is configured)
+    assert 'getElementById("privacy").style.display = "none"' in spa_html
