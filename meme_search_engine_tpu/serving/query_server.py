@@ -50,6 +50,83 @@ except Exception:  # pragma: no cover
 DEFAULT_K = 1000  # reference default search k (main.rs:952)
 
 
+class SearchBatcher:
+    """Micro-batches concurrent MIPS dispatches into one device call.
+
+    Measured motivation (tools_profile_wire.py): a B=1 k=20 dispatch
+    over this tunneled backend costs ~60 ms, almost all of it
+    round-trip latency — while the scan itself is nearly
+    batch-independent (BENCHMARKS.md MIPS table: B=1 1.6 ms vs B=16
+    3.6 ms device time at k=1000). The reference never hits this
+    because FAISS runs in-process (main.rs:952); the TPU-native
+    equivalent of its thread-per-core concurrency is one device stream
+    fed with fused batches.
+
+    Design: requests enqueue (query, k) futures; a drain task
+    dispatches IMMEDIATELY whenever the device is free (so an idle
+    server adds zero latency to a lone query) and whatever arrives
+    while a dispatch is in flight forms the next batch. Batch rows and
+    k are padded to power-of-two buckets so XLA compiles a bounded set
+    of programs (misc/clip_accursed.py:77-90 precedent); each request
+    slices its own k rows from the padded result.
+    """
+
+    def __init__(self, handle: IndexHandle, max_batch: int = 64):
+        self._handle = handle
+        self._max_batch = max_batch
+        self._pending: List[tuple] = []
+        self._runner: Optional[asyncio.Task] = None
+
+    async def search(self, qvec: np.ndarray, k: int):
+        loop = asyncio.get_event_loop()
+        fut = loop.create_future()
+        self._pending.append((qvec, int(k), fut))
+        if self._runner is None or self._runner.done():
+            self._runner = loop.create_task(self._drain())
+        return await fut
+
+    @staticmethod
+    def _pow2_pad(n: int) -> int:
+        return 1 << max(0, (n - 1).bit_length())
+
+    async def _drain(self):
+        loop = asyncio.get_event_loop()
+        while self._pending:
+            batch = self._pending[: self._max_batch]
+            del self._pending[: len(batch)]
+            index = self._handle.index
+            if index is None or len(index) == 0:
+                for _q, _k, fut in batch:
+                    if not fut.done():
+                        fut.set_result(None)
+                continue
+            qs = np.stack([q for q, _k, _f in batch]).astype(np.float32)
+            b_pad = self._pow2_pad(len(batch))
+            if b_pad > len(batch):
+                qs = np.concatenate(
+                    [qs, np.zeros((b_pad - len(batch), qs.shape[1]), np.float32)]
+                )
+            k_max = min(max(k for _q, k, _f in batch), len(index))
+            k_pad = min(self._pow2_pad(k_max), len(index))
+            try:
+                scores, idx = await loop.run_in_executor(
+                    None, index.search, qs, k_pad
+                )
+            except Exception as e:  # surface to every waiter
+                for _q, _k, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            for row, (_q, k, fut) in enumerate(batch):
+                if not fut.done():
+                    kk = min(k, k_pad)
+                    # include the index snapshot the batch actually
+                    # searched: a concurrent /reload swap must not let
+                    # a caller resolve these row ids against a
+                    # different index
+                    fut.set_result((scores[row, :kk], idx[row, :kk], index))
+
+
 async def fuse_query_terms(
     req: QueryRequest,
     embedder,
@@ -96,8 +173,18 @@ def execute_query(
     """Search + video-frame dedup + result formatting."""
     k = req.k or DEFAULT_K
     scores, idx = index.search(query[None, :], min(k, len(index)))
-    scores, idx = scores[0], idx[0]
+    return format_results(index, scores[0], idx[0], req)
 
+
+def format_results(
+    index: FlatIndex, scores: np.ndarray, idx: np.ndarray, req: QueryRequest
+) -> QueryResult:
+    """Video-frame dedup + result formatting (main.rs:906-917), over
+    already-computed top-k rows — split from the search so batched
+    dispatches (SearchBatcher) share one device call."""
+    from ..ingest.thumbnailer import thumbnail_hash_key
+
+    k = req.k or DEFAULT_K
     matches: List[tuple] = []
     seen_containers: Dict[str, int] = {}
     for s, i in zip(scores.tolist(), idx.tolist()):
@@ -119,8 +206,6 @@ def execute_query(
         )
         meta = index.metadata[i] if index.metadata is not None else None
         dims = tuple(meta[:2]) if meta else None
-        from ..ingest.thumbnailer import thumbnail_hash_key
-
         display = container if is_video else fname.path
         matches.append((float(s), display, thumbnail_hash_key(display), code, dims))
         if len(matches) >= k:
@@ -144,6 +229,7 @@ def make_app(
     formats = formats or []
     extensions = extensions or {}
     reload_lock = asyncio.Lock()
+    batcher = SearchBatcher(handle)
 
     def _cors(resp):
         resp.headers["Access-Control-Allow-Origin"] = "*"
@@ -175,9 +261,14 @@ def make_app(
         qvec = await fuse_query_terms(
             req, embedder, embedder.config.embedding_size, predefined
         )
-        result = await asyncio.get_event_loop().run_in_executor(
-            None, execute_query, index, qvec, req
-        )
+        hit = await batcher.search(qvec, min(req.k or DEFAULT_K, len(index)))
+        if hit is None:  # index emptied by a concurrent swap
+            result = QueryResult(matches=[])
+        else:
+            scores, idx, searched_index = hit
+            result = await asyncio.get_event_loop().run_in_executor(
+                None, format_results, searched_index, scores, idx, req
+            )
         result.formats = formats
         result.extensions = extensions
         return _cors(web.json_response(query_result_to_json(result)))

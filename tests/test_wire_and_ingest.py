@@ -280,3 +280,55 @@ def test_lens_response_parser_fixture():
     )
     assert _parse_lens_response(err, 800, 600) == []
     assert _parse_lens_response("<html>nope</html>", 800, 600) == []
+
+
+def test_search_batcher_fuses_concurrent_dispatches():
+    """SearchBatcher must (a) coalesce queries that arrive while a
+    dispatch is in flight into one device call, (b) return each caller
+    its own exact top-k rows (pow2 pad on batch and k sliced away),
+    (c) hand back the index snapshot it searched."""
+    import asyncio
+
+    from meme_search_engine_tpu.index.flat import FlatIndex, IndexHandle
+    from meme_search_engine_tpu.ingest.filename import Actual
+    from meme_search_engine_tpu.serving.query_server import SearchBatcher
+
+    rng = np.random.default_rng(0)
+    n, d = 256, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float16)
+    index = FlatIndex.build(vecs, [Actual(f"f{i}") for i in range(n)])
+
+    calls = []
+    real_search = index.search
+
+    def counting_search(queries, k):
+        calls.append((len(queries), k))
+        return real_search(queries, k)
+
+    index.search = counting_search
+    batcher = SearchBatcher(IndexHandle(index))
+
+    qs = rng.standard_normal((12, d)).astype(np.float32)
+    ks = [5, 20, 3, 20, 7, 20, 5, 3, 20, 7, 5, 3]
+
+    async def run():
+        return await asyncio.gather(
+            *[batcher.search(qs[i], ks[i]) for i in range(12)]
+        )
+
+    results = asyncio.new_event_loop().run_until_complete(run())
+
+    # far fewer dispatches than queries (first arrival may dispatch
+    # alone; everything queued behind it must ride one batch)
+    assert len(calls) < 12, calls
+    # every batch row count and k is a power of two
+    for b, k in calls:
+        assert b & (b - 1) == 0, calls
+        assert k & (k - 1) == 0, calls
+    # exact per-query results at each caller's own k
+    oracle = qs @ vecs.astype(np.float32).T
+    for i, (s, idx, snap) in enumerate(results):
+        assert snap is index
+        assert s.shape == (ks[i],) and idx.shape == (ks[i],)
+        want = np.argsort(-oracle[i])[: ks[i]]
+        assert set(idx.tolist()) == set(want.tolist())
