@@ -38,6 +38,7 @@ from ..ops.attention import (
     fat_layout_ok,
     fat_vit_mha_packed,
     fat_width,
+    fused_mha_pallas,
     mha,
 )
 from ..ops.fused import ln_matmul, ln_mlp_residual, matmul_residual
@@ -511,6 +512,124 @@ def _encoder_fat(
     return x
 
 
+def _encoder_text(
+    x: jax.Array,
+    blocks: Params,
+    num_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused short-sequence encoder (the text tower's S=64 regime).
+
+    The fat-layout kernel loses at short sequence (its 80/128-lane
+    layout penalty and fixed overhead stop amortising when the
+    attention matmuls are tiny — BENCHMARKS.md round-4 text A/B), and
+    the plain XLA path leaves ~2x on the table per layer. This encoder
+    exploits that LayerNorm/projection/MLP are PER-ROW: it reshapes
+    (B, S, D) to a row view of ~256-row blocks — free and exact — and
+    runs the image tower's resident-weight fused kernels on it
+    (ln_matmul packed QKV, matmul_residual o-proj, ln_mlp_residual),
+    plus the in-VMEM attention kernel with many (batch, head) slices
+    per program (hpp=16: at S=64 a program's per-head work is ~0.6
+    MFLOP, so the S=729 default of 2 heads/program is launch-bound —
+    grid 2048 -> 256 programs measured ~2.2x faster at SO400M text
+    shapes, tools_profile_text_stages.py).
+
+    Numerics identical to ``_encoder`` (fp32 LN statistics and matmul
+    accumulation in the fused kernels; parity-tested in
+    tests/test_siglip.py).
+    """
+    b, s, d = x.shape
+    dh = d // num_heads
+
+    # packed QKV weights assembled once outside the scan (a per-layer
+    # concat inside the body would re-materialise the weights each step)
+    wqkv = jnp.concatenate(
+        [
+            blocks["attn"]["q"]["w"],
+            blocks["attn"]["k"]["w"],
+            blocks["attn"]["v"]["w"],
+        ],
+        axis=2,
+    )  # (depth, D, 3D)
+    bqkv = jnp.concatenate(
+        [
+            blocks["attn"]["q"]["b"],
+            blocks["attn"]["k"]["b"],
+            blocks["attn"]["v"]["b"],
+        ],
+        axis=1,
+    )  # (depth, 3D)
+
+    # row view: rows of D-vectors, blocked so each kernel program sees
+    # ~256 rows (the VMEM sweet spot measured on the image tower; a
+    # 512-row block with the packed 3456-wide QKV output is
+    # scoped-VMEM-illegal). Total rows b*s is a power-of-two multiple
+    # of 256 for every pow2 engine bucket at S=64.
+    rows = b * s
+    rq = 256 if rows % 256 == 0 and rows >= 256 else 8
+    rb = rows // rq
+    xr = x.reshape(rb, rq, d)
+
+    hpp = int(os.environ.get("MSE_TEXT_ATTN_HPP", "0")) or (
+        16 if (b * num_heads) % 16 == 0 else (
+            2 if (b * num_heads) % 2 == 0 else 1
+        )
+    )
+    if (b * num_heads) % hpp:
+        hpp = 1
+
+    # Each sub-block is independently routable (fused Pallas kernel vs
+    # plain XLA) so the production default is the measured-best combo
+    # rather than an all-or-nothing bet; see BENCHMARKS.md round-5 text
+    # section for the quiet-chip sweep behind the defaults.
+    use_fused_qkv = os.environ.get("MSE_TEXT_QKV", "xla") == "fused"
+    use_fused_o = os.environ.get("MSE_TEXT_O", "xla") == "fused"
+    use_fused_mlp = os.environ.get("MSE_TEXT_MLP", "xla") == "fused"
+
+    def step(h, xs):
+        blk, wf, bf = xs
+        if use_fused_qkv:
+            qkv = ln_matmul(
+                h, blk["ln1"]["g"], blk["ln1"]["b"], wf, bf,
+                nq=1, interpret=interpret,
+            )  # (rb, rq, 3D)
+        else:
+            hn = _layer_norm(h, blk["ln1"])
+            qkv = _dense(hn, {"w": wf, "b": bf})
+        qkv = qkv.reshape(b, s, 3, num_heads, dh)
+        o = fused_mha_pallas(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+            hpp=hpp, interpret=interpret,
+        )  # (b, s, H, dh)
+        if use_fused_o:
+            h = matmul_residual(
+                o.reshape(rb, rq, d),
+                blk["attn"]["o"]["w"], blk["attn"]["o"]["b"], h,
+                nq=1, interpret=interpret,
+            )
+        else:
+            h = h + _dense(o.reshape(rb, rq, d), blk["attn"]["o"])
+        if use_fused_mlp:
+            m = blk["mlp"]["fc1"]["w"].shape[1]
+            mh = int(os.environ.get("MSE_MLP_MH", "2176"))
+            mh_eff = min(mh, ((m + 127) // 128) * 128)
+            mpad = ((m + mh_eff - 1) // mh_eff) * mh_eff
+            resident = 2 * d * mpad * h.dtype.itemsize <= 21_000_000
+            h = ln_mlp_residual(
+                h,
+                blk["ln2"]["g"], blk["ln2"]["b"],
+                blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
+                blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
+                nq=1, mh=mh, resident=resident, interpret=interpret,
+            )
+        else:
+            h = h + _mlp(_layer_norm(h, blk["ln2"]), blk["mlp"])
+        return h, None
+
+    xr, _ = jax.lax.scan(step, xr, (blocks, wqkv, bqkv))
+    return xr.reshape(b, s, d)
+
+
 def preprocess_image(
     image: jax.Array, cfg: SigLIPConfig = SO400M_14_384
 ) -> jax.Array:
@@ -631,6 +750,19 @@ def encode_text(
             x, p["blocks"], th, n_valid=sp,
             interpret=cfg.attn_impl == "fat_interpret",
         )
+    elif (
+        os.environ.get("MSE_TEXT_FUSED", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and (cfg.text_width // th) % 8 == 0
+    ):
+        # short-sequence fused encoder (_encoder_text): resident-weight
+        # row kernels + hpp-batched attention. Opt-in: the quiet-chip
+        # A/B at bs=256 measured it SLOWER than the plain XLA encoder
+        # (137.2 vs 126.5 ms/batch — the row-kernel variants lose at
+        # S=64 row geometry even though the attention kernel alone
+        # wins; BENCHMARKS.md round-5 text section), so XLA stays the
+        # production route until a combination measures faster.
+        x = _encoder_text(x, p["blocks"], th)
     else:
         x = _encoder(x, p["blocks"], th)
     x = _layer_norm(x, p["ln_final"])

@@ -35,7 +35,13 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = False) -> ja
         and sq > 1
         and sq <= 2048
     ):
-        return fused_mha_pallas(q, k, v)
+        import os
+
+        b, h = q.shape[0], q.shape[2]
+        hpp = int(os.environ.get("MSE_MHA_HPP", "0")) or None
+        if hpp and (b * h) % hpp:
+            hpp = None
+        return fused_mha_pallas(q, k, v, hpp=hpp)
     return mha_xla(q, k, v, causal=causal)
 
 
@@ -104,7 +110,7 @@ def _fused_attention_kernel(
         o_ref[j] = (o * pl.reciprocal(l, approx=False)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("stable", "interpret"))
+@functools.partial(jax.jit, static_argnames=("stable", "interpret", "hpp"))
 def fused_mha_pallas(
     q: jax.Array,
     k: jax.Array,
@@ -112,13 +118,18 @@ def fused_mha_pallas(
     *,
     stable: str = "scalar",
     interpret: bool = False,
+    hpp: int | None = None,
 ) -> jax.Array:
     """Pallas fused non-causal attention for (B, S, H, Dh) inputs.
 
     Head dim pads to the 128-lane width (zero K-padding is exact for
     QK^T; zero V-padding yields zero columns which are sliced off).
-    Grid = one program per 2 (batch, head) slices; Pallas double-buffers
-    the per-head DMAs against the MXU automatically.
+    Grid = one program per ``hpp`` (batch, head) slices; Pallas
+    double-buffers the per-head DMAs against the MXU automatically.
+    ``hpp`` defaults to 2 (the measured image-tower optimum at S=729);
+    at short sequence the per-program work is tiny and larger ``hpp``
+    amortises program/DMA overhead over more heads (swept at S=64 in
+    tools_profile_text_stages.py).
     """
     from jax.experimental import pallas as pl
 
@@ -128,7 +139,9 @@ def fused_mha_pallas(
     # would add 3 full q/k/v copy passes for zero kernel-time gain
     # (measured identical at Dh=72)
     dp = d if d % 8 == 0 else ((d + 7) // 8) * 8
-    hpp = 2 if (b * h) % 2 == 0 else 1
+    if hpp is None:
+        hpp = 2 if (b * h) % 2 == 0 else 1
+    assert (b * h) % hpp == 0, (b, h, hpp)
 
     def to_bh(x):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, s, d)

@@ -177,3 +177,41 @@ def test_resize_path_embedding_parity(tiny):
         )[0]
         cos = float(e_client @ e_graph)
         assert cos >= min_cos, (h, w, cos)
+
+
+def test_encoder_text_fused_matches_xla():
+    """The fused short-sequence text encoder (_encoder_text: row-view
+    resident kernels + hpp-batched attention) matches the plain XLA
+    encoder numerically (interpret mode on CPU)."""
+    cfg = siglip.tiny_test_config()
+    params = siglip.init_params(jax.random.PRNGKey(6), cfg)
+    blocks = params["txt"]["blocks"]
+    rng = np.random.default_rng(7)
+    dt = blocks["ln1"]["g"].dtype
+    x = jnp.asarray(
+        rng.standard_normal((2, cfg.text_len, cfg.text_width)), dt
+    )
+    ref = np.asarray(
+        siglip._encoder(x, blocks, cfg.text_num_heads), np.float32
+    )
+    fused = np.asarray(
+        siglip._encoder_text(
+            x, blocks, cfg.text_num_heads, interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(fused, ref, atol=5e-2)
+    # odd batch too (row view falls back to 8-row blocks, hpp to 2)
+    x3 = jnp.asarray(
+        rng.standard_normal((3, cfg.text_len, cfg.text_width)), dt
+    )
+    ref3 = np.asarray(
+        siglip._encoder(x3, blocks, cfg.text_num_heads), np.float32
+    )
+    fused3 = np.asarray(
+        siglip._encoder_text(
+            x3, blocks, cfg.text_num_heads, interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(fused3, ref3, atol=5e-2)
