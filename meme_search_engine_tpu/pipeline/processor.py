@@ -424,6 +424,85 @@ def regenerate_shard_inputs(
     }
 
 
+def coverage_build_order(
+    assignment: np.ndarray,
+    built: Sequence[int],
+    n_clusters: int,
+    fixed_cost_s: float = 15.0,
+    per_record_s: float = 0.0018,
+) -> List[int]:
+    """Order unbuilt shards to maximise record coverage per build-second.
+
+    Each record spills to ``assignment.shape[1]`` shards
+    (dump_processor.rs:438-461 SHARD_SPILL semantics) and is *covered*
+    — reachable at serve time — once any of them has a built graph.
+    When a build runs under a chip-time budget (the normal case at 1e8:
+    ~118 chip-hours all-in, BENCHMARKS.md projection), the sequential
+    shard order wastes the redundancy: late shards mostly re-cover
+    records an earlier spill copy already covered.  Greedy
+    cost-normalised set cover fixes that: repeatedly pick the shard
+    with the most still-uncovered records per estimated build second
+    (cost model: fixed per-shard overhead + the measured per-spill-
+    record build rate).  Marginal coverage is submodular, so lazy
+    re-evaluation (re-score only the current heap head) is exact.
+
+    Measured on the round-5 1e7 run (420 shards, 81 built): +180 shards
+    sequential = 0.853 coverage vs greedy = 0.922; full coverage needs
+    only 356/420 shards.  Shards with zero marginal coverage are
+    appended in index order (they still densify adjacency for records
+    whose other spill copy is built).
+    """
+    import heapq
+
+    built_mask = np.zeros(n_clusters, bool)
+    if len(built):
+        built_mask[np.asarray(list(built), np.int64)] = True
+    covered = built_mask[assignment].any(axis=1)
+    sizes = np.bincount(assignment.ravel(), minlength=n_clusters)
+    cost = fixed_cost_s + per_record_s * sizes
+
+    # per-shard id lists of initially-uncovered incident records
+    unc = np.where(~covered)[0]
+    lists: List[np.ndarray] = [np.empty(0, np.int64)] * n_clusters
+    if len(unc):
+        parts: List[List[np.ndarray]] = [[] for _ in range(n_clusters)]
+        for col in range(assignment.shape[1]):
+            sh = assignment[unc, col]
+            srt = np.argsort(sh, kind="stable")
+            sh_s, r_s = sh[srt], unc[srt]
+            bounds = np.searchsorted(sh_s, np.arange(n_clusters + 1))
+            for s in range(n_clusters):
+                if bounds[s + 1] > bounds[s]:
+                    parts[s].append(r_s[bounds[s] : bounds[s + 1]])
+        lists = [
+            np.concatenate(p) if p else np.empty(0, np.int64) for p in parts
+        ]
+
+    still = ~covered
+    heap = [
+        (-len(lists[s]) / cost[s], s)
+        for s in range(n_clusters)
+        if not built_mask[s]
+    ]
+    heapq.heapify(heap)
+    order: List[int] = []
+    exhausted: List[int] = []
+    while heap:
+        _stale, s = heapq.heappop(heap)
+        cur = int(still[lists[s]].sum())
+        if cur == 0:
+            exhausted.append(s)
+            continue
+        val = cur / cost[s]
+        if heap and -heap[0][0] > val:
+            heapq.heappush(heap, (-val, s))
+            continue
+        order.append(s)
+        still[lists[s]] = False
+    order.extend(sorted(exhausted))
+    return order
+
+
 class PaddedAdjacency:
     """Row-indexable adjacency over one padded int32 matrix.
 

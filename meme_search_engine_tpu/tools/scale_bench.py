@@ -189,6 +189,21 @@ def main(argv=None):
         "to covered records — the quality of what was built)",
     )
     ap.add_argument(
+        "--coverage-order",
+        action="store_true",
+        help="build remaining shards in greedy set-cover order "
+        "(most still-uncovered records per estimated build second, "
+        "processor.coverage_build_order) instead of shard-id order. "
+        "Under a chip-time budget this maximises the fraction of "
+        "records reachable by the packed index: each record spills to "
+        "2 shards, so sequential order wastes the redundancy "
+        "(measured at 1e7/420 shards: +180 shards sequential = 0.853 "
+        "coverage vs greedy = 0.922; full coverage at 356/420). "
+        "Resume-safe: the order is recomputed from the built set at "
+        "every process start, and the pack tail is build-order "
+        "independent",
+    )
+    ap.add_argument(
         "--max-build-records",
         type=int,
         default=0,
@@ -342,17 +357,33 @@ def main(argv=None):
 
     # --- per-shard Vamana builds -------------------------------------------
     t0 = time.time()
-    shard_outputs = []
     built = 0
     records_this_run = 0
-    for s in range(args.clusters):
+    build_order = list(range(args.clusters))
+    if args.coverage_order and not args.partial_tail:
+        assignment_path = os.path.join(wd, "assignment.npy")
+        if os.path.exists(assignment_path):
+            t_ord = time.time()
+            already = [
+                s
+                for s in range(args.clusters)
+                if os.path.exists(
+                    os.path.join(shard_dir, f"shard_{s}.graph")
+                )
+            ]
+            build_order = processor.coverage_build_order(
+                np.load(assignment_path), already, args.clusters
+            )
+            log(
+                f"coverage order over {len(build_order)} unbuilt shards "
+                f"in {time.time() - t_ord:.0f}s (head: {build_order[:6]})"
+            )
+        else:
+            log("coverage-order: assignment.npy missing; sequential order")
+    for s in build_order:
         in_path = os.path.join(shard_dir, f"shard_{s}.msgpack")
         out_path = os.path.join(shard_dir, f"shard_{s}.graph")
-        if not os.path.exists(in_path):
-            continue
-        if args.partial_tail:
-            if os.path.exists(out_path):
-                shard_outputs.append(read_shard_output(out_path))
+        if not os.path.exists(in_path) or args.partial_tail:
             continue
         if not os.path.exists(out_path):
             pause_point()
@@ -400,7 +431,14 @@ def main(argv=None):
             report["shards_built"] = built
             report["shard_build_s_last"] = round(time.time() - ts, 1)
             checkpoint_report()
-        shard_outputs.append(read_shard_output(out_path))
+    # collect outputs in shard-id order: the pack tail's shard list
+    # (centroid stack, medioid list, node->shard indices) must not
+    # depend on the build order
+    shard_outputs = []
+    for s in range(args.clusters):
+        out_path = os.path.join(shard_dir, f"shard_{s}.graph")
+        if os.path.exists(out_path):
+            shard_outputs.append(read_shard_output(out_path))
     if args.partial_tail:
         uniq = np.unique(
             np.concatenate(

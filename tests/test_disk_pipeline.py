@@ -911,3 +911,31 @@ def test_pack_index_native_matches_python(tmp_path, monkeypatch):
         pytest.skip("native library unavailable")
     assert outs["1"][0] == outs["0"][0]
     assert outs["1"][1] == outs["0"][1] == 1  # the oversize URL at i=5
+
+
+def test_coverage_build_order():
+    # 6 shards, records spill to 2 shards each. Shards 4/5 duplicate
+    # coverage of 0/1; greedy must prefer the shards that cover the
+    # most still-uncovered records per cost.
+    rng = np.random.default_rng(0)
+    n, C = 5000, 6
+    a = np.stack([rng.integers(0, C, n), rng.integers(0, C, n)], axis=1)
+    a = a.astype(np.int32)
+    order = processor.coverage_build_order(a, built=[], n_clusters=C)
+    # every unbuilt shard appears exactly once
+    assert sorted(order) == list(range(C))
+    # replaying the greedy order must dominate the sequential order in
+    # cumulative coverage at every prefix (ties allowed)
+    def cov(shards):
+        m = np.zeros(C, bool)
+        m[list(shards)] = True
+        return (m[a[:, 0]] | m[a[:, 1]]).mean()
+    for k in range(1, C + 1):
+        assert cov(order[:k]) >= cov(range(k)) - 1e-12
+    # built shards are excluded and counted as covering
+    order2 = processor.coverage_build_order(a, built=[order[0]], n_clusters=C)
+    assert order[0] not in order2
+    assert sorted(order2 + [order[0]]) == list(range(C))
+    # full-coverage property: replay reaches 1.0 once every record has
+    # one of its spill shards somewhere in the order
+    assert cov(order) == 1.0
