@@ -566,9 +566,19 @@ def _encoder_text(
     # scoped-VMEM-illegal). Total rows b*s is a power-of-two multiple
     # of 256 for every pow2 engine bucket at S=64.
     rows = b * s
-    rq = 256 if rows % 256 == 0 and rows >= 256 else 8
+    rq = int(os.environ.get("MSE_TEXT_RQ", "0")) or (
+        256 if rows % 256 == 0 and rows >= 256 else 8
+    )
+    if rows % rq:
+        rq = 8
     rb = rows // rq
     xr = x.reshape(rb, rq, d)
+    # sub-chunk count inside each fused-kernel program (ln_matmul nq):
+    # the stage profile's best QKV config is a 1024-row view with
+    # nq=8 (128-row sub-chunks) — tools_profile_text_stages.py
+    nq_rows = int(os.environ.get("MSE_TEXT_NQ", "1"))
+    if rq % nq_rows or (rq // max(nq_rows, 1)) % 8:
+        nq_rows = 1
 
     hpp = int(os.environ.get("MSE_TEXT_ATTN_HPP", "0")) or (
         16 if (b * num_heads) % 16 == 0 else (
@@ -591,7 +601,7 @@ def _encoder_text(
         if use_fused_qkv:
             qkv = ln_matmul(
                 h, blk["ln1"]["g"], blk["ln1"]["b"], wf, bf,
-                nq=1, interpret=interpret,
+                nq=nq_rows, interpret=interpret,
             )  # (rb, rq, 3D)
         else:
             hn = _layer_norm(h, blk["ln1"])
@@ -605,7 +615,7 @@ def _encoder_text(
             h = matmul_residual(
                 o.reshape(rb, rq, d),
                 blk["attn"]["o"]["w"], blk["attn"]["o"]["b"], h,
-                nq=1, interpret=interpret,
+                nq=nq_rows, interpret=interpret,
             )
         else:
             h = h + _dense(o.reshape(rb, rq, d), blk["attn"]["o"])

@@ -69,20 +69,34 @@ class SearchBatcher:
     k are padded to power-of-two buckets so XLA compiles a bounded set
     of programs (misc/clip_accursed.py:77-90 precedent); each request
     slices its own k rows from the padded result.
+
+    Up to ``max_inflight`` batches run concurrently (distinct executor
+    threads): the tunneled backend pipelines dispatches, so while one
+    thread blocks fetching batch N's result rows the other dispatches
+    batch N+1 — hiding the ~60 ms round-trip behind device compute and
+    host formatting instead of serialising them (quiet-host A/B in
+    BENCHMARKS.md round-5 serving table).
     """
 
-    def __init__(self, handle: IndexHandle, max_batch: int = 64):
+    def __init__(
+        self,
+        handle: IndexHandle,
+        max_batch: int = 64,
+        max_inflight: int = 2,
+    ):
         self._handle = handle
         self._max_batch = max_batch
+        self._max_inflight = max_inflight
         self._pending: List[tuple] = []
-        self._runner: Optional[asyncio.Task] = None
+        self._runners: List[asyncio.Task] = []
 
     async def search(self, qvec: np.ndarray, k: int):
         loop = asyncio.get_event_loop()
         fut = loop.create_future()
         self._pending.append((qvec, int(k), fut))
-        if self._runner is None or self._runner.done():
-            self._runner = loop.create_task(self._drain())
+        self._runners = [t for t in self._runners if not t.done()]
+        if len(self._runners) < self._max_inflight:
+            self._runners.append(loop.create_task(self._drain()))
         return await fut
 
     @staticmethod

@@ -215,3 +215,41 @@ def test_encoder_text_fused_matches_xla():
         np.float32,
     )
     np.testing.assert_allclose(fused3, ref3, atol=5e-2)
+
+
+def test_encoder_text_fused_knob_combos_match_xla(monkeypatch):
+    """Every routable sub-block combo (fused QKV/o/MLP, row-view and
+    nq knobs) is numerically identical to the XLA encoder — the knobs
+    only change blocking, never math."""
+    cfg = siglip.tiny_test_config()
+    params = siglip.init_params(jax.random.PRNGKey(8), cfg)
+    blocks = params["txt"]["blocks"]
+    rng = np.random.default_rng(9)
+    dt = blocks["ln1"]["g"].dtype
+    x = jnp.asarray(
+        rng.standard_normal((2, cfg.text_len, cfg.text_width)), dt
+    )
+    ref = np.asarray(
+        siglip._encoder(x, blocks, cfg.text_num_heads), np.float32
+    )
+    monkeypatch.setenv("MSE_TEXT_RQ", "16")
+    monkeypatch.setenv("MSE_TEXT_NQ", "2")
+    monkeypatch.setenv("MSE_TEXT_QKV", "fused")
+    monkeypatch.setenv("MSE_TEXT_O", "fused")
+    fused = np.asarray(
+        siglip._encoder_text(
+            x, blocks, cfg.text_num_heads, interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(fused, ref, atol=5e-2)
+    # an invalid rq/nq pair falls back instead of asserting
+    monkeypatch.setenv("MSE_TEXT_RQ", "24")
+    monkeypatch.setenv("MSE_TEXT_NQ", "5")
+    fused2 = np.asarray(
+        siglip._encoder_text(
+            x, blocks, cfg.text_num_heads, interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(fused2, ref, atol=5e-2)

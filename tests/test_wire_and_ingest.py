@@ -332,3 +332,56 @@ def test_search_batcher_fuses_concurrent_dispatches():
         assert s.shape == (ks[i],) and idx.shape == (ks[i],)
         want = np.argsort(-oracle[i])[: ks[i]]
         assert set(idx.tolist()) == set(want.tolist())
+
+
+def test_search_batcher_pipelines_two_inflight():
+    """With max_inflight=2, a slow in-flight dispatch must not block a
+    second batch from dispatching concurrently — and every caller still
+    gets its own exact rows."""
+    import asyncio
+    import threading
+    import time as _time
+
+    from meme_search_engine_tpu.index.flat import FlatIndex, IndexHandle
+    from meme_search_engine_tpu.ingest.filename import Actual
+    from meme_search_engine_tpu.serving.query_server import SearchBatcher
+
+    rng = np.random.default_rng(1)
+    n, d = 128, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float16)
+    index = FlatIndex.build(vecs, [Actual(f"f{i}") for i in range(n)])
+
+    concurrent = {"now": 0, "max": 0}
+    lock = threading.Lock()
+    real_search = index.search
+
+    def slow_search(queries, k):
+        with lock:
+            concurrent["now"] += 1
+            concurrent["max"] = max(concurrent["max"], concurrent["now"])
+        _time.sleep(0.05)  # a tunnel-scale round-trip
+        try:
+            return real_search(queries, k)
+        finally:
+            with lock:
+                concurrent["now"] -= 1
+
+    index.search = slow_search
+    batcher = SearchBatcher(IndexHandle(index), max_batch=2, max_inflight=2)
+
+    qs = rng.standard_normal((8, d)).astype(np.float32)
+
+    async def run():
+        return await asyncio.gather(
+            *[batcher.search(qs[i], 5) for i in range(8)]
+        )
+
+    results = asyncio.new_event_loop().run_until_complete(run())
+    # max_batch=2 forces 4 batches; with 2 runners at least two must
+    # have overlapped in time
+    assert concurrent["max"] == 2, concurrent
+    oracle = qs @ vecs.astype(np.float32).T
+    for i, (s, idx, snap) in enumerate(results):
+        assert snap is index
+        want = np.argsort(-oracle[i])[:5]
+        assert set(idx.tolist()) == set(want.tolist())
