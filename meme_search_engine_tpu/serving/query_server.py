@@ -21,6 +21,7 @@ from __future__ import annotations
 import asyncio
 import base64
 import json
+import os
 import sys
 from typing import Dict, List, Optional
 
@@ -82,10 +83,14 @@ class SearchBatcher:
         self,
         handle: IndexHandle,
         max_batch: int = 64,
-        max_inflight: int = 2,
+        max_inflight: Optional[int] = None,
     ):
         self._handle = handle
         self._max_batch = max_batch
+        if max_inflight is None:
+            # env override so load tests can A/B pipelined vs
+            # serialised dispatch on the same build
+            max_inflight = int(os.environ.get("MSE_SEARCH_INFLIGHT", "2"))
         self._max_inflight = max_inflight
         self._pending: List[tuple] = []
         self._runners: List[asyncio.Task] = []

@@ -8,6 +8,14 @@ process (pass the mode name; fresh plugin state each time) and fitting
 the RSS slope:
 
   upload        new int32 device_put per round, no compute, scalar fetch
+  upload_reuse  same bytes uploaded per round but written into ONE
+                preallocated host array (stable address) — if the
+                slope drops to ~0 the plugin is retaining per fresh
+                host buffer (a registration/staging cache keyed on the
+                source address), and the workaround is staging-buffer
+                reuse
+  rebuffer_reuse  rebuffer's update values staged through the same
+                persistent host array
   fetch         fetch rows of one persistent device array (no uploads)
   gather_jit    jitted dynamic row gather, scalar fetch only
   rebuffer      x = x.at[rows].set(vals) — a NEW device buffer per
@@ -80,6 +88,36 @@ def main():
     graph = set_rows_jit(graph, rows0, vals0)
     np.asarray(graph[:1])
 
+    stage_ids = np.empty((512,), np.int32)
+    stage_vals = np.empty((512, 24), np.int32)
+
+    if mode == "sizesweep":
+        # per-upload-size retention curve, one process: is the leak
+        # strictly proportional to uploaded bytes, or per-transfer
+        # (fixed cost), or thresholded (large transfers on a clean
+        # path)? 200 fresh-array uploads per size, slope per segment.
+        t0 = time.time()
+        for nkb in (2, 8, 32, 128, 512, 2048):
+            n = nkb * 256
+            seg = []
+            for i in range(rounds):
+                arr = rng.integers(0, 4096, (n,)).astype(np.int32)
+                float(scalar(jnp.asarray(arr)))
+                if i % 5 == 0:
+                    gc.collect()
+                    seg.append((i, rss_kb()))
+            xs = np.asarray([s[0] for s in seg], np.float64)
+            ys = np.asarray([s[1] for s in seg], np.float64)
+            cut = len(xs) // 3
+            slope = float(np.polyfit(xs[cut:], ys[cut:], 1)[0])
+            print(
+                f"mode=sizesweep kb={nkb} rounds={rounds} "
+                f"slope={slope:.2f} KB/round ratio={slope / nkb:.3f}",
+                flush=True,
+            )
+        print(f"sizesweep wall={time.time()-t0:.0f}s", flush=True)
+        return
+
     samples = []
     t0 = time.time()
     for i in range(rounds):
@@ -88,6 +126,24 @@ def main():
                 rng.integers(0, 4096, (512,)).astype(np.int32)
             )
             float(scalar(ids))
+        elif mode == "upload_reuse":
+            stage_ids[:] = rng.integers(0, 4096, (512,))
+            float(scalar(jnp.asarray(stage_ids)))
+        elif mode.startswith("upload_kb"):
+            # size sweep: does the per-upload retention have a size
+            # threshold (small transfers on a leaking staging path,
+            # large ones not)? mode=upload_kbN uploads N KB per round.
+            nkb = int(mode[len("upload_kb"):])
+            arr = rng.integers(0, 4096, (nkb * 256,)).astype(np.int32)
+            float(scalar(jnp.asarray(arr)))
+        elif mode == "sizesweep":
+            # all sizes in one process (one jax init): per-size slope
+            # fitted on its own segment below
+            pass
+        elif mode == "rebuffer_reuse":
+            stage_vals[:] = rng.integers(0, 4096, (512, 24))
+            graph = set_rows(graph, rows0, jnp.asarray(stage_vals))
+            float(scalar(graph))
         elif mode == "fetch":
             np.asarray(base[:512])
         elif mode == "gather_jit":
