@@ -195,13 +195,21 @@ class DiskIndex:
         descriptor_scales: Optional[np.ndarray] = None,
         dedup: bool = True,
         start_id: Optional[int] = None,
+        spec: Optional[int] = None,
     ) -> Tuple[List[SearchResult], SearchCounters]:
         """Beam search (query_disk_index.rs:144-212 semantics).
 
         Frontier candidates are scored with PQ ADC + descriptor product;
         visited nodes get the exact fp16 dot; results are rank-sorted by
         exact score and near-duplicates dropped.
+
+        spec (default env MSE_DISK_SPEC or 0): speculative frontier
+        reads per hop on the native path — same results, deeper IO
+        queue for cold single-stream latency. Python fallback ignores
+        it (no read-ahead value without the native fan-out pool).
         """
+        if spec is None:
+            spec = int(os.environ.get("MSE_DISK_SPEC", "0"))
         query = np.asarray(query, np.float32)
         counters = SearchCounters()
         if descriptor_scales is None:
@@ -217,7 +225,7 @@ class DiskIndex:
         if self._nav is not None:
             return self._finish_native(
                 lut, query, descriptor_scales, use_desc, start_id,
-                beamwidth, search_list, k, dedup, counters,
+                beamwidth, search_list, k, dedup, counters, spec,
             )
 
         # frontier as flat numpy arrays + a seen-bitmap: the per-hop work
@@ -307,7 +315,7 @@ class DiskIndex:
 
     def _finish_native(
         self, lut, query, descriptor_scales, use_desc, start_id,
-        beamwidth, search_list, k, dedup, counters,
+        beamwidth, search_list, k, dedup, counters, spec=0,
     ) -> Tuple[List[SearchResult], SearchCounters]:
         """Run the native beam search and assemble SearchResults for the
         ranked prefix. Only the records that can reach the final top-k
@@ -316,7 +324,7 @@ class DiskIndex:
         the page cache."""
         ids, scores, node_reads, pq_cmps = self._nav.search(
             lut, query, descriptor_scales, use_desc, start_id,
-            beamwidth, search_list,
+            beamwidth, search_list, spec,
         )
         counters.node_reads += node_reads
         counters.pq_comparisons += pq_cmps

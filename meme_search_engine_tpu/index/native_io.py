@@ -75,6 +75,7 @@ def _load_native():
             ctypes.POINTER(ctypes.c_float),   # out_scores
             ctypes.c_int64,                   # max_out
             ctypes.POINTER(ctypes.c_int64),   # counters
+            ctypes.c_int64,                   # spec (speculative reads/hop)
         ]
         lib.disknav_close.argtypes = [ctypes.c_void_p]
         i32p = ctypes.POINTER(ctypes.c_int32)
@@ -213,9 +214,12 @@ class NativeNav:
         start_id: int,
         beamwidth: int,
         search_list: int,
+        spec: int = 0,
     ):
         """Returns (ids int64[n], scores f32[n], node_reads, pq_cmps) —
-        visited nodes ranked by exact score desc."""
+        visited nodes ranked by exact score desc. spec > 0 additionally
+        fetches the next-best `spec` frontier candidates per hop in the
+        same IO fan-out (results identical; IO schedule deeper)."""
         import numpy as np
 
         lut = np.ascontiguousarray(lut, np.float32)
@@ -240,6 +244,7 @@ class NativeNav:
             out_scores.ctypes.data_as(fp),
             max_out,
             counters.ctypes.data_as(ip),
+            int(spec),
         )
         if n < 0:
             raise OSError("disknav_search failed (corrupt record?)")

@@ -98,6 +98,21 @@ def medioid(vectors: np.ndarray) -> int:
     return int(jnp.argmax(jnp.dot(x, mean, preferred_element_type=jnp.float32)))
 
 
+def medioid_dev(corpus_dev: jnp.ndarray, count: Optional[int] = None) -> int:
+    """medioid() over an already-device-resident corpus (first `count`
+    rows) — no host->device upload. The tunneled TPU plugin retains host
+    RSS ~1:1 with uploaded bytes (BENCHMARKS.md leak bisect), and the
+    fp32 corpus re-upload medioid() forced was the single largest leak
+    contributor per shard build (tools_audit_build_uploads.py), so the
+    build path computes its entry point from the build's own reduced-
+    width corpus copy. argmax over the mean-dot is scale-invariant, so
+    the int8/bf16 storage only perturbs genuine near-ties."""
+    x = corpus_dev[: int(count)] if count is not None else corpus_dev
+    x = x.astype(jnp.float32)
+    mean = x.mean(axis=0)
+    return int(jnp.argmax(jnp.dot(x, mean, preferred_element_type=jnp.float32)))
+
+
 def random_fill(n: int, r: int, seed: int = 0) -> np.ndarray:
     """Random R-regular init (lib.rs:376-387), (N, R) int32."""
     rng = np.random.default_rng(seed)
@@ -501,12 +516,19 @@ def build_graph(
     seed: int = 0,
     graph: Optional[np.ndarray] = None,
     verbose: bool = False,
+    corpus_dev: Optional[jnp.ndarray] = None,
 ) -> np.ndarray:
     """Build the Vamana graph (lib.rs:287-324 flow, batched rounds).
 
     vectors: (N, D); rows >= config.query_breakpoint are OOD query
     vectors (appended after base data, generate_index_shard.rs:71-94).
     Returns adjacency (N, R) int32, -1 padded.
+
+    corpus_dev: optional pre-uploaded device corpus (the output of
+    _corpus_on_device(vectors, config.corpus_dtype)) — multi-pass
+    callers upload once and reuse it, since the tunneled plugin retains
+    host RSS per uploaded byte (BENCHMARKS.md leak bisect) and the
+    corpus re-upload dominated the per-shard leak rate.
     """
     n, d = vectors.shape
     cfg = config
@@ -520,12 +542,16 @@ def build_graph(
     # reduced-width resident copy: the build is dominated by (B, E*R, D)
     # vector gathers; every halving of element width halves the HBM
     # traffic. All dots upcast to f32 at the MXU (preferred_element_type).
-    vec_dev = _corpus_on_device(vectors, cfg.corpus_dtype)
+    vec_dev = (
+        corpus_dev
+        if corpus_dev is not None
+        else _corpus_on_device(vectors, cfg.corpus_dtype)
+    )
     if graph is None:
         graph = random_fill(n, cfg.r, seed)
     graph = np.asarray(graph, np.int32)
     degrees = np.full((n,), graph.shape[1], np.int32)
-    med = medioid(vectors[: min(n, cfg.query_breakpoint)])
+    med = medioid_dev(vec_dev, min(n, cfg.query_breakpoint))
 
     sigmas = rng.permutation(n).astype(np.int32)
     bp = jnp.int32(cfg.query_breakpoint)
@@ -816,17 +842,30 @@ def robust_stitch(
     graph: np.ndarray,
     config: VamanaConfig,
     _force_sequential: bool = False,
+    corpus_dev: Optional[jnp.ndarray] = None,
 ) -> np.ndarray:
     """OOD-DiskANN RobustStitch (lib.rs:326-374): remove base->query
     edges; refill each former in-neighbour's spare slots with the query's
     best out-neighbours (scored against the in-neighbour, capped by
-    max_add_per_stitch_iter)."""
+    max_add_per_stitch_iter).
+
+    corpus_dev: optional device corpus to reuse (build-width, e.g.
+    bf16) instead of uploading a fresh fp32 copy — the fp32 stitch
+    upload was a leading per-shard leak contributor (BENCHMARKS.md
+    leak bisect). Scores still accumulate in fp32 at the MXU; the
+    reduced storage width can flip genuine near-tie refill orderings,
+    which the recall harness bounds like every other build-width
+    relaxation in this module."""
     n = graph.shape[0]
     bp = config.query_breakpoint
     if bp >= n:
         return graph
     graph = graph.copy()
-    vec_dev = jnp.asarray(vectors, jnp.float32)
+    vec_dev = (
+        corpus_dev
+        if corpus_dev is not None
+        else jnp.asarray(vectors, jnp.float32)
+    )
 
     # collect and delete base->query edges (vectorised: the per-row
     # python compaction cost seconds per shard at 48k nodes)

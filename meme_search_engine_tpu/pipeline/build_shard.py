@@ -86,15 +86,24 @@ def build_shard(
         build_expand=build_expand,
         corpus_dtype=corpus_dtype,
     )
+    # ONE corpus upload per shard, shared by every pass + stitch + the
+    # medioid: each fp32/bf16 re-upload used to leak its size in host
+    # RSS through the tunneled plugin (~19 KB/record/shard; audit in
+    # tools_audit_build_uploads.py), and the corpus uploads were ~90%
+    # of the build's uploaded bytes.
+    corpus_dev = vamana._corpus_on_device(vectors, corpus_dtype)
     graph = vamana.random_fill(len(vectors), r, seed)
     for p in range(n_build_passes):
         graph = vamana.build_graph(
-            vectors, cfg, seed=seed + p, graph=graph, verbose=verbose
+            vectors, cfg, seed=seed + p, graph=graph, verbose=verbose,
+            corpus_dev=corpus_dev,
         )
     if len(vectors) > n_base:
-        graph = vamana.robust_stitch(vectors, graph, cfg)
+        graph = vamana.robust_stitch(
+            vectors, graph, cfg, corpus_dev=corpus_dev
+        )
 
-    med = vamana.medioid(base)
+    med = vamana.medioid_dev(corpus_dev, n_base)
     adjacency = [row[row >= 0].astype(np.uint32) for row in graph[:n_base]]
     header = ShardHeader(
         id=header_in.id,

@@ -26,6 +26,7 @@
 #include <queue>
 #include <thread>
 #include <unistd.h>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -491,12 +492,22 @@ void* disknav_open(void* reader_handle, int64_t count, int64_t d,
 // Full beam search. Returns the number of visited nodes written to
 // out_ids/out_scores (ranked by exact score desc, id asc at ties), or -1
 // on a parse/IO failure. counters := {node_reads, pq_comparisons}.
+// spec > 0 enables speculative frontier reads: each hop also fetches the
+// next `spec` best frontier candidates (ranks bw..bw+spec-1) in the SAME
+// fan-out batch, caching them for the hop that later visits them. The
+// search order, scores and results are bit-identical to spec=0 — only
+// the IO schedule changes (deeper effective queue depth per disk
+// round-trip, the single-stream analogue of the reference's io_uring
+// QD; cold single-stream latency is otherwise bounded by ~hops x one
+// QD<=beamwidth round-trip). On the mmap path speculation becomes
+// POSIX_MADV_WILLNEED kernel readahead. node_reads counts actual IO
+// issued (speculative included; cache hits are not re-counted).
 int64_t disknav_search(void* handle, const float* lut, const float* query,
                        const float* desc_scales, int use_desc,
                        int64_t start_id, int64_t beamwidth,
                        int64_t search_list, int64_t* out_ids,
                        float* out_scores, int64_t max_out,
-                       int64_t* counters) {
+                       int64_t* counters, int64_t spec) {
   auto* nav = static_cast<Nav*>(handle);
   const float* f16 = f16_table().t;
   const int64_t rs = nav->reader->record_size;
@@ -544,18 +555,34 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
   std::vector<int64_t> hop_cands;
   hop_cands.reserve(beamwidth * 512);
   std::vector<float> hop_scores;
-  std::vector<char> buf(beamwidth * rs);
+  if (spec < 0) spec = 0;
+  std::vector<char> buf((beamwidth + spec) * rs);
   std::vector<int64_t> batch(beamwidth);
+  std::vector<int64_t> read_ids;
+  read_ids.reserve(beamwidth + spec);
+  // speculative records read ahead of their visit; consumed (moved out)
+  // when the beam reaches them, so each node is read at most once
+  std::unordered_map<int64_t, std::vector<char>> spec_cache;
+  std::vector<const uint8_t*> recptr(beamwidth);
+  std::vector<std::vector<char>> owned(beamwidth);
   auto by_score_desc = [](const FrontierEntry& a, const FrontierEntry& b) {
     return a.score > b.score;
   };
 
   while (!frontier.empty()) {
     int64_t bw = std::min<int64_t>(beamwidth, frontier.size());
-    if ((int64_t)frontier.size() > bw)
-      std::nth_element(frontier.begin(), frontier.begin() + bw - 1,
+    int64_t want = std::min<int64_t>(bw + spec, frontier.size());
+    if ((int64_t)frontier.size() > want)
+      std::nth_element(frontier.begin(), frontier.begin() + want - 1,
                        frontier.end(), by_score_desc);
+    if (want > bw)
+      std::nth_element(frontier.begin(), frontier.begin() + bw - 1,
+                       frontier.begin() + want, by_score_desc);
     for (int64_t i = 0; i < bw; ++i) batch[i] = frontier[i].id;
+    // ranks bw..want-1 stay in the frontier; they are only prefetched
+    const int64_t n_spec = want - bw;
+    std::vector<int64_t> spec_ids(n_spec);
+    for (int64_t i = 0; i < n_spec; ++i) spec_ids[i] = frontier[bw + i].id;
     frontier.erase(frontier.begin(), frontier.begin() + bw);
 
     const uint8_t* map = nav->reader->map;
@@ -566,17 +593,55 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
         if ((batch[i] + 1) * rs > (int64_t)nav->reader->map_len) return -1;
         __builtin_prefetch(map + batch[i] * rs, 0, 0);
       }
-    } else if (diskio_read_batch(nav->reader, batch.data(), bw,
-                                 buf.data()) != bw) {
-      return -1;
+      // speculation on the mmap path = kernel readahead of the likely
+      // next hops (record offsets are page-aligned: rs = 4096)
+      for (int64_t i = 0; i < n_spec; ++i) {
+        if ((spec_ids[i] + 1) * rs <= (int64_t)nav->reader->map_len)
+          ::posix_madvise(const_cast<uint8_t*>(map) + spec_ids[i] * rs,
+                          rs, POSIX_MADV_WILLNEED);
+      }
+      node_reads += bw;
+    } else {
+      // one fan-out batch: beam nodes missing from the cache, then the
+      // speculative candidates (pool threads overlap all of them)
+      read_ids.clear();
+      for (int64_t i = 0; i < bw; ++i) {
+        recptr[i] = nullptr;
+        auto it = spec_cache.find(batch[i]);
+        if (it != spec_cache.end()) {
+          owned[i] = std::move(it->second);
+          spec_cache.erase(it);
+          recptr[i] = (const uint8_t*)owned[i].data();
+        } else {
+          read_ids.push_back(batch[i]);
+        }
+      }
+      const int64_t n_beam_reads = (int64_t)read_ids.size();
+      for (int64_t i = 0; i < n_spec; ++i)
+        if (!spec_cache.count(spec_ids[i])) read_ids.push_back(spec_ids[i]);
+      const int64_t n_reads = (int64_t)read_ids.size();
+      if (n_reads > 0 && diskio_read_batch(nav->reader, read_ids.data(),
+                                           n_reads, buf.data()) != n_reads)
+        return -1;
+      node_reads += n_reads;
+      // scatter: beam misses in read order, then cache the speculatives
+      int64_t pos = 0;
+      for (int64_t i = 0; i < bw; ++i)
+        if (recptr[i] == nullptr)
+          recptr[i] = (const uint8_t*)buf.data() + (pos++) * rs;
+      for (; pos < n_reads; ++pos) {
+        std::vector<char> rec(rs);
+        std::memcpy(rec.data(), buf.data() + pos * rs, rs);
+        spec_cache.emplace(read_ids[pos], std::move(rec));
+      }
+      (void)n_beam_reads;
     }
-    node_reads += bw;
 
     for (int64_t i = 0; i < bw; ++i) {
       ParsedNode node;
       const uint8_t* rec = map != nullptr
                                ? map + batch[i] * rs
-                               : (const uint8_t*)buf.data() + i * rs;
+                               : recptr[i];
       if (!parse_record(rec, rs, &node))
         return -1;
       // exact fp16 dot (+ descriptor product, matching the reference's

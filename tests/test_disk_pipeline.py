@@ -621,6 +621,38 @@ def test_native_beam_search_matches_python(built_index):
                 assert all(r.url for r in rn if r.id < N)
 
 
+def test_native_speculative_reads_are_result_invariant(built_index):
+    """spec>0 (speculative frontier reads per hop) must change only the
+    IO schedule: ranked ids/scores and pq comparisons identical to
+    spec=0; node_reads may rise (speculation that the beam never
+    consumed) but each visited node is read at most once, so it is
+    bounded by spec extra reads per hop."""
+    out_dir, vectors, _ = built_index
+    from meme_search_engine_tpu.index import native_io
+
+    if native_io._load_native() is None:
+        pytest.skip("native diskio unavailable")
+    idx = DiskIndex(out_dir)
+    assert idx._nav is not None
+
+    rng = np.random.default_rng(13)
+    for qi in rng.integers(0, N, 5):
+        r0, c0 = idx.search(
+            vectors[qi], 10, beamwidth=3, search_list=150, spec=0
+        )
+        for spec in (1, 4, 16):
+            rs_, cs = idx.search(
+                vectors[qi], 10, beamwidth=3, search_list=150, spec=spec
+            )
+            assert [r.id for r in rs_] == [r.id for r in r0]
+            np.testing.assert_allclose(
+                [r.score for r in rs_], [r.score for r in r0],
+                rtol=1e-6, atol=1e-7,
+            )
+            assert cs.pq_comparisons == c0.pq_comparisons
+            assert cs.node_reads >= c0.node_reads
+
+
 def test_resplit_regenerates_deleted_inputs_byte_exact(tmp_path):
     """--frugal-disk inverse: regenerate_shard_inputs must reproduce
     deleted shard input files byte-for-byte, from the saved assignment

@@ -31,6 +31,12 @@ def rss_kb():
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     import jax
+
+    if "--cpu" in sys.argv:
+        # the upload-byte map is backend-independent; CPU runs it
+        # without stealing chip time (the RSS-slope correlation is the
+        # only part that needs the real plugin)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -68,7 +74,27 @@ def main():
         r=32, l=96, maxc=375, batch_size=1024, build_expand=4
     )
     rss0 = rss_kb()
-    graph = vamana.build_graph(vecs, cfg)
+    if "--shard" in sys.argv:
+        # the full production per-shard path (build_shard semantics:
+        # corpus upload shared across passes + stitch + medioid) at the
+        # 1e7 run's geometry: 2 passes? no — scale_bench runs 1 pass +
+        # stitch; OOD query vectors appended to exercise stitch
+        queries = rng.standard_normal((256, 1152)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        allv = np.concatenate([vecs, queries])
+        scfg = vamana.VamanaConfig(
+            r=32, l=96, maxc=375, batch_size=1024, build_expand=4,
+            query_breakpoint=n,
+        )
+        corpus_dev = vamana._corpus_on_device(allv, scfg.corpus_dtype)
+        graph = vamana.build_graph(allv, scfg, corpus_dev=corpus_dev)
+        graph = vamana.robust_stitch(
+            allv, graph, scfg, corpus_dev=corpus_dev
+        )
+        vamana.medioid_dev(corpus_dev, n)
+        graph = graph[:n]
+    else:
+        graph = vamana.build_graph(vecs, cfg)
     rss1 = rss_kb()
 
     total_up = sum(up_bytes.values())
