@@ -653,6 +653,32 @@ def test_native_speculative_reads_are_result_invariant(built_index):
             assert cs.node_reads >= c0.node_reads
 
 
+def test_native_speculative_reads_mmap_path(built_index, monkeypatch):
+    """On the opt-in mmap reader (MSE_DISKIO_MMAP=1) speculation is
+    POSIX_MADV_WILLNEED readahead — results and node_reads must both be
+    identical to spec=0 (no extra reads are issued, only advice)."""
+    out_dir, vectors, _ = built_index
+    from meme_search_engine_tpu.index import native_io
+
+    if native_io._load_native() is None:
+        pytest.skip("native diskio unavailable")
+    monkeypatch.setenv("MSE_DISKIO_MMAP", "1")
+    idx = DiskIndex(out_dir)
+    assert idx._nav is not None
+
+    rng = np.random.default_rng(17)
+    for qi in rng.integers(0, N, 3):
+        r0, c0 = idx.search(
+            vectors[qi], 10, beamwidth=3, search_list=150, spec=0
+        )
+        rs_, cs = idx.search(
+            vectors[qi], 10, beamwidth=3, search_list=150, spec=8
+        )
+        assert [r.id for r in rs_] == [r.id for r in r0]
+        assert cs.node_reads == c0.node_reads
+        assert cs.pq_comparisons == c0.pq_comparisons
+
+
 def test_resplit_regenerates_deleted_inputs_byte_exact(tmp_path):
     """--frugal-disk inverse: regenerate_shard_inputs must reproduce
     deleted shard input files byte-for-byte, from the saved assignment
