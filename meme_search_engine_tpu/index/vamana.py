@@ -726,7 +726,7 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp,
     gidx = np.cumsum(newgrp) - 1
     pos = np.arange(len(tgt)) - starts[gidx]
     all_nodes = tgt[newgrp]
-    extras = np.full((len(all_nodes), 64), INVALID, np.int64)
+    extras = np.full((len(all_nodes), 64), INVALID, np.int32)
     keep = pos < 64
     extras[gidx[keep], pos[keep]] = src[keep]
     n_extras = np.bincount(gidx[keep], minlength=len(all_nodes))
@@ -756,7 +756,7 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp,
             b = len(nodes)
             b_min = 256 if ewidth == 64 else 1024
             b_pad = max(b_min, 1 << (b - 1).bit_length())
-            rows = graph[nodes].astype(np.int64)
+            rows = graph[nodes].copy()  # int32; INVALID fits
             rows[rows < 0] = INVALID
             # under deferral a target's row may have been rebuilt (its
             # own build round, or an earlier flush chunk) since the
@@ -765,7 +765,7 @@ def _reprune_overflow(vec_dev, graph, degrees, overflow_pairs, cfg, bp,
             ext = extras[take, :ewidth]
             stale = (rows[:, :, None] == ext[:, None, :]).any(axis=1)
             ext = np.where(stale, INVALID, ext)
-            cand = np.full((b_pad, c), INVALID, np.int64)
+            cand = np.full((b_pad, c), INVALID, np.int32)
             cand[:b] = np.concatenate([rows, ext], axis=1)
             nodes_pad = np.concatenate(
                 [nodes, np.zeros(b_pad - b, np.int32)]
