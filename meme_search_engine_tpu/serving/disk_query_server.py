@@ -89,6 +89,7 @@ def make_app(
     beamwidth: int = 3,
     search_list: int = 1000,
     search_threads: int = 8,
+    spec: int = 0,
 ):
     from aiohttp import web
 
@@ -141,6 +142,7 @@ def make_app(
                 beamwidth=beamwidth,
                 search_list=search_list,
                 descriptor_scales=scales,
+                spec=spec,
             )
 
         results, counters = await asyncio.get_event_loop().run_in_executor(
@@ -191,7 +193,7 @@ def make_app(
 
 def main(argv=None):
     """Config JSON: {index_dir, clip_server, port, beamwidth,
-    search_list, telemetry_path} (reference flags:
+    search_list, spec, telemetry_path} (reference flags:
     query_disk_index.rs:31-54)."""
     from aiohttp import web
 
@@ -212,6 +214,7 @@ def main(argv=None):
             telemetry_path=config.get("telemetry_path"),
             beamwidth=int(config.get("beamwidth", 3)),
             search_list=int(config.get("search_list", 1000)),
+            spec=int(config.get("spec", 0)),
         )
 
     loop = asyncio.new_event_loop()
