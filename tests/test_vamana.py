@@ -84,6 +84,32 @@ def test_medioid():
     assert m == int(np.argmax(x @ mean))
 
 
+def test_medioid_dev_matches_host():
+    """medioid_dev (device-resident, bf16/int8 corpus, no re-upload)
+    picks the same entry point as the fp32 host path when the argmax is
+    not a bf16-level near-tie — the production shard-build case."""
+    from meme_search_engine_tpu.index.vamana import (
+        _corpus_on_device,
+        medioid_dev,
+    )
+
+    rng = np.random.default_rng(3)
+    x = _unit(rng, 500, 32)
+    ref = medioid(x)
+    # make the winner unambiguous at reduced precision
+    x[ref] = x[ref] * 0.5 + 0.5 * x.mean(axis=0) / np.linalg.norm(
+        x.mean(axis=0)
+    )
+    ref = medioid(x)
+    for dtype in ("bf16", "int8"):
+        dev = _corpus_on_device(x, dtype)
+        assert medioid_dev(dev) == ref, dtype
+    # count-limited variant: entry point from the base prefix only
+    assert medioid_dev(_corpus_on_device(x, "bf16"), 400) == medioid(
+        x[:400]
+    )
+
+
 def test_ood_query_vectors_and_stitch():
     """OOD build: query vectors appended after base data get neighbours
     but are never returned by base-only search; robust_stitch removes
