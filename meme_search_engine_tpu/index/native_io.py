@@ -27,15 +27,33 @@ def _load_native():
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
+    _ABI_VERSION = 2
     try:
-        if not os.path.exists(_LIB_PATH):
+        # always invoke make: it is a cheap no-op when the .so is up to
+        # date, and it rebuilds a stale prebuilt library whose ABI
+        # predates the ctypes prototypes below (a silently ignored
+        # trailing argument would no-op the feature it carries)
+        try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
+                ["make", "-C", _NATIVE_DIR, "-s", "libdiskio.so"],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
+        except (subprocess.SubprocessError, OSError):
+            if not os.path.exists(_LIB_PATH):
+                raise
         lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib.diskio_abi_version.restype = ctypes.c_int64
+            abi = int(lib.diskio_abi_version())
+        except AttributeError:
+            abi = 1
+        if abi != _ABI_VERSION:
+            raise RuntimeError(
+                f"libdiskio.so ABI {abi} != expected {_ABI_VERSION}; "
+                f"run `make -C {_NATIVE_DIR} clean all`"
+            )
         lib.diskio_open.restype = ctypes.c_void_p
         lib.diskio_open.argtypes = [
             ctypes.c_char_p,

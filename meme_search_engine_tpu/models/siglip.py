@@ -576,8 +576,8 @@ def _encoder_text(
     # sub-chunk count inside each fused-kernel program (ln_matmul nq):
     # the stage profile's best QKV config is a 1024-row view with
     # nq=8 (128-row sub-chunks) — tools_profile_text_stages.py
-    nq_rows = int(os.environ.get("MSE_TEXT_NQ", "1"))
-    if rq % nq_rows or (rq // max(nq_rows, 1)) % 8:
+    nq_rows = int(os.environ.get("MSE_TEXT_NQ", "1")) or 1
+    if rq % nq_rows or (rq // nq_rows) % 8:
         nq_rows = 1
 
     hpp = int(os.environ.get("MSE_TEXT_ATTN_HPP", "0")) or (

@@ -380,7 +380,10 @@ def regenerate_shard_inputs(
     # divergent replay would pass silently — refuse instead (resplit
     # only makes sense mid-build, when graphs exist; a fresh split goes
     # through split_to_shards).
-    if replayed and verified == 0 and not allow_unverified:
+    # verify_built=False is itself an explicit opt-out of verification:
+    # only refuse when the caller ASKED for verification and none was
+    # possible (zero built graphs)
+    if replayed and verify_built and verified == 0 and not allow_unverified:
         raise RuntimeError(
             "replayed shard assignment has no built graphs to verify "
             "against — refusing to persist it or regenerate inputs "

@@ -209,7 +209,20 @@ def main(argv=None):
     with open(argv[0]) as f:
         config = json.load(f)
 
-    cfg = siglip.SO400M_14_384
+    # "platform": "cpu" pins the JAX backend (the TPU plugin overrides
+    # the JAX_PLATFORMS env var on hosts where it is installed, so a
+    # config knob is the only way to run this binary CPU-side there)
+    if config.get("platform"):
+        jax.config.update("jax_platforms", config["platform"])
+
+    # model selection rides model_name, as in the reference's config
+    # (clip_server_config.json "model"); "tiny" serves the random-init
+    # test geometry for dev/CI hosts without a checkpoint or the HBM
+    # for SO400M
+    if config.get("model_name", "").startswith("tiny"):
+        cfg = siglip.tiny_test_config()
+    else:
+        cfg = siglip.SO400M_14_384
     ckpt = config.get("checkpoint")
     if ckpt:
         params = siglip.load_hf_siglip(ckpt, cfg)

@@ -89,7 +89,7 @@ def make_app(
     beamwidth: int = 3,
     search_list: int = 1000,
     search_threads: int = 8,
-    spec: int = 0,
+    spec: Optional[int] = None,
 ):
     from aiohttp import web
 
@@ -214,7 +214,11 @@ def main(argv=None):
             telemetry_path=config.get("telemetry_path"),
             beamwidth=int(config.get("beamwidth", 3)),
             search_list=int(config.get("search_list", 1000)),
-            spec=int(config.get("spec", 0)),
+            # None (key absent) lets DiskIndex.search fall back to the
+            # MSE_DISK_SPEC env knob; an explicit config value wins
+            spec=(
+                int(config["spec"]) if "spec" in config else None
+            ),
         )
 
     loop = asyncio.new_event_loop()

@@ -113,37 +113,40 @@ class SearchBatcher:
         while self._pending:
             batch = self._pending[: self._max_batch]
             del self._pending[: len(batch)]
-            index = self._handle.index
-            if index is None or len(index) == 0:
-                for _q, _k, fut in batch:
-                    if not fut.done():
-                        fut.set_result(None)
-                continue
-            qs = np.stack([q for q, _k, _f in batch]).astype(np.float32)
-            b_pad = self._pow2_pad(len(batch))
-            if b_pad > len(batch):
-                qs = np.concatenate(
-                    [qs, np.zeros((b_pad - len(batch), qs.shape[1]), np.float32)]
-                )
-            k_max = min(max(k for _q, k, _f in batch), len(index))
-            k_pad = min(self._pow2_pad(k_max), len(index))
+            # the batch is already dequeued: any exception from here on
+            # must resolve every waiter (an unhandled one would kill
+            # this drain task and leave the batch's futures pending
+            # forever — the HTTP requests would hang to client timeout)
             try:
+                index = self._handle.index
+                if index is None or len(index) == 0:
+                    for _q, _k, fut in batch:
+                        if not fut.done():
+                            fut.set_result(None)
+                    continue
+                qs = np.stack([q for q, _k, _f in batch]).astype(np.float32)
+                b_pad = self._pow2_pad(len(batch))
+                if b_pad > len(batch):
+                    qs = np.concatenate(
+                        [qs, np.zeros((b_pad - len(batch), qs.shape[1]), np.float32)]
+                    )
+                k_max = min(max(k for _q, k, _f in batch), len(index))
+                k_pad = min(self._pow2_pad(k_max), len(index))
                 scores, idx = await loop.run_in_executor(
                     None, index.search, qs, k_pad
                 )
+                for row, (_q, k, fut) in enumerate(batch):
+                    if not fut.done():
+                        kk = min(k, k_pad)
+                        # include the index snapshot the batch actually
+                        # searched: a concurrent /reload swap must not
+                        # let a caller resolve these row ids against a
+                        # different index
+                        fut.set_result((scores[row, :kk], idx[row, :kk], index))
             except Exception as e:  # surface to every waiter
                 for _q, _k, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
-                continue
-            for row, (_q, k, fut) in enumerate(batch):
-                if not fut.done():
-                    kk = min(k, k_pad)
-                    # include the index snapshot the batch actually
-                    # searched: a concurrent /reload swap must not let
-                    # a caller resolve these row ids against a
-                    # different index
-                    fut.set_result((scores[row, :kk], idx[row, :kk], index))
 
 
 async def fuse_query_terms(
@@ -334,6 +337,13 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     with open(argv[0]) as f:
         config = json.load(f)
+
+    # "platform": "cpu" pins the JAX backend (the TPU plugin overrides
+    # the JAX_PLATFORMS env var on hosts where it is installed)
+    if config.get("platform"):
+        import jax
+
+        jax.config.update("jax_platforms", config["platform"])
 
     async def start():
         from ..ingest.pipeline import IngestService

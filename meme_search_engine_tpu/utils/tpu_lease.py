@@ -125,15 +125,42 @@ def acquire(
     pause = os.path.join(workdir, "PAUSE")
     ack = os.path.join(workdir, "PAUSED")
     t0 = time.time()
-    # An operator may have paused the build by hand (CLAUDE.md protocol:
-    # touch PAUSE, wait for PAUSED). Don't clobber that hold: only
-    # create PAUSE if it doesn't exist, and only remove it on release
-    # if we created it.
-    created_pause = not os.path.exists(pause)
-    if created_pause:
+    # PAUSE ownership disambiguates three parties writing one file:
+    # - a *client* creates it atomically (O_EXCL) with its pid as the
+    #   content, so a second concurrent client sees a live-pid PAUSE
+    #   and WAITS instead of treating the parked holder as acquirable
+    #   (two clients sharing the chip would corrupt both measurements);
+    # - an *operator* hold (CLAUDE.md protocol: `touch PAUSE`) is an
+    #   empty file — clients leave it in place on release and may run
+    #   under it once the holder has acked it (chip parked idle);
+    # - a dead client's leftover token (stale pid) is reclaimed.
+    created_pause = False
+    while time.time() - t0 < timeout_s:
         try:
-            with open(pause, "w"):
-                pass
+            fd = os.open(pause, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            created_pause = True
+            break
+        except FileExistsError:
+            try:
+                with open(pause) as f:
+                    txt = f.read().strip()
+                owner = int(txt) if txt else None
+            except (OSError, ValueError):
+                owner = None
+            if owner is None:
+                # empty/unreadable: operator hold — handled below
+                break
+            if not _alive(owner):
+                try:
+                    os.remove(pause)
+                except OSError:
+                    pass
+                continue
+            if log:
+                log(f"tpu_lease: waiting on client pid {owner} holding PAUSE")
+            time.sleep(poll_s)
         except OSError:
             # stale busy file whose advertised workdir is gone (e.g. a
             # cleaned-up .scale1e7): nothing can be holding the chip
@@ -150,6 +177,7 @@ def acquire(
                     f"{workdir} unwritable; proceeding unpaused"
                 )
             return lambda: None
+    operator_hold = not created_pause
     if log:
         log(f"tpu_lease: pausing holder pid {pid} ({workdir})")
     acquired = False
@@ -158,15 +186,22 @@ def acquire(
             ack_mtime = os.path.getmtime(ack)
             # fresh ack (holder parked in response to our PAUSE), or a
             # pre-existing manual hold: PAUSE predates us and the live
-            # holder already acked it — it sits at a safe point and a
-            # sleeping holder never refreshes the ack's mtime, so a
-            # freshness test alone would poll the full timeout with the
-            # chip idle
-            if ack_mtime >= t0 - 1.0 or (
-                not created_pause and _alive(pid)
-            ):
+            # holder acked it *after* the hold was requested — it sits
+            # at a safe point, and a sleeping holder never refreshes
+            # the ack's mtime, so a freshness-vs-t0 test alone would
+            # poll the full timeout with the chip idle. The
+            # ack-after-pause check rejects a stale PAUSED leaked by a
+            # kill -9 while parked (holder restarted, not yet parked).
+            if created_pause and ack_mtime >= t0 - 1.0:
                 acquired = True
                 break
+            if operator_hold and _alive(pid):
+                try:
+                    if ack_mtime >= os.path.getmtime(pause) - 1.0:
+                        acquired = True
+                        break
+                except OSError:
+                    pass
         except OSError:
             pass
         if not _alive(pid):
@@ -194,10 +229,13 @@ def acquire(
     def release() -> None:
         # leave a manual operator hold in place: removing a PAUSE this
         # client didn't create would resume a build the operator wanted
-        # held
+        # held; only remove our own token (content = our pid)
         if not created_pause:
             return
         try:
+            with open(pause) as f:
+                if f.read().strip() != str(os.getpid()):
+                    return
             os.remove(pause)
         except OSError:
             pass

@@ -97,6 +97,12 @@ struct Reader {
 
 extern "C" {
 
+// Bump whenever any exported signature changes (the Python loader
+// refuses to drive a stale prebuilt .so through a newer ctypes
+// prototype — a silently ignored trailing argument would no-op the
+// feature it carries, e.g. the `spec` knob on disknav_search).
+int64_t diskio_abi_version() { return 2; }
+
 // Open a record file. n_threads <= 0 selects a default sized for NVMe
 // queue depth vs. typical beamwidths.
 void* diskio_open(const char* path, int64_t record_size, int n_threads) {
@@ -565,8 +571,15 @@ int64_t disknav_search(void* handle, const float* lut, const float* query,
   std::unordered_map<int64_t, std::vector<char>> spec_cache;
   std::vector<const uint8_t*> recptr(beamwidth);
   std::vector<std::vector<char>> owned(beamwidth);
+  // total order (score desc, id asc — the NeighbourBuffer composite
+  // key): nth_element partition *sets* are then unique, so beam and
+  // truncation selections cannot differ between the one-partition
+  // (spec=0) and two-partition (spec>0) paths on exact score ties
+  // (duplicate records produce identical ADC scores), keeping the
+  // spec-invariance contract bit-exact
   auto by_score_desc = [](const FrontierEntry& a, const FrontierEntry& b) {
-    return a.score > b.score;
+    if (a.score != b.score) return a.score > b.score;
+    return a.id < b.id;
   };
 
   while (!frontier.empty()) {

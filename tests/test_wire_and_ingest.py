@@ -385,3 +385,40 @@ def test_search_batcher_pipelines_two_inflight():
         assert snap is index
         want = np.argsort(-oracle[i])[:5]
         assert set(idx.tolist()) == set(want.tolist())
+
+
+def test_search_batcher_resolves_waiters_on_any_drain_error():
+    """An exception anywhere in the drain loop (not just inside the
+    executor call) must resolve every dequeued waiter with the error —
+    a dead drain task with dequeued futures would hang those HTTP
+    requests until client timeout — and later batches must still work."""
+    import asyncio
+
+    from meme_search_engine_tpu.index.flat import FlatIndex, IndexHandle
+    from meme_search_engine_tpu.ingest.filename import Actual
+    from meme_search_engine_tpu.serving.query_server import SearchBatcher
+
+    rng = np.random.default_rng(2)
+    n, d = 64, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float16)
+    index = FlatIndex.build(vecs, [Actual(f"f{i}") for i in range(n)])
+    batcher = SearchBatcher(IndexHandle(index))
+
+    good = rng.standard_normal((d,)).astype(np.float32)
+    bad = rng.standard_normal((d + 3,)).astype(np.float32)  # poisons np.stack
+
+    async def run():
+        # same batch: one good + one shape-poisoned query
+        r = await asyncio.gather(
+            batcher.search(good, 5),
+            batcher.search(bad, 5),
+            return_exceptions=True,
+        )
+        # both resolved (no hang); at least the bad one is an error
+        assert all(x is not None for x in r)
+        assert any(isinstance(x, Exception) for x in r)
+        # the batcher survives: a fresh query succeeds
+        s, idx, snap = await asyncio.wait_for(batcher.search(good, 5), 10.0)
+        assert snap is index and idx.shape == (5,)
+
+    asyncio.new_event_loop().run_until_complete(run())
