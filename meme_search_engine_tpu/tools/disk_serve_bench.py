@@ -39,6 +39,14 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=16)
     ap.add_argument("--seed", type=int, default=99)
     ap.add_argument(
+        "--spec",
+        type=int,
+        default=None,
+        help="speculative frontier reads per hop (native path; default "
+        "env MSE_DISK_SPEC or 0) — results are invariant, only the IO "
+        "schedule changes; sweep 0/2/4/8 for the cold-latency A/B",
+    )
+    ap.add_argument(
         "--cold",
         action="store_true",
         help="evict index.bin from the page cache (fadvise DONTNEED) "
@@ -73,7 +81,7 @@ def main(argv=None):
     def one(q):
         return idx.search(
             q, args.k, beamwidth=args.beamwidth,
-            search_list=args.search_list,
+            search_list=args.search_list, spec=args.spec,
         )
 
     t0 = time.time()
@@ -87,7 +95,8 @@ def main(argv=None):
 
     report = {"n": n, "beamwidth": args.beamwidth,
               "search_list": args.search_list, "k": args.k,
-              "cold": bool(args.cold), "qps_vs_threads": {}}
+              "cold": bool(args.cold), "spec": args.spec,
+              "qps_vs_threads": {}}
     lat_ms = []
     for threads in [int(t) for t in args.threads.split(",")]:
         if args.cold:
@@ -98,8 +107,10 @@ def main(argv=None):
                 # per-query latency distribution on the 1-thread pass
                 def timed_one(q):
                     s = time.perf_counter()
-                    one(q)
+                    _r, c = one(q)
+                    counters.append(c)
                     return (time.perf_counter() - s) * 1e3
+                counters = []  # replace warmup counters with measured
                 lat_ms = list(ex.map(timed_one, qs))
             else:
                 list(ex.map(one, qs))

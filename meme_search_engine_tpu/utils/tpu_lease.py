@@ -15,9 +15,13 @@ Protocol (all plain files, no daemons):
   ``<workdir>/PAUSE`` file exists, ``pause_point`` writes a
   ``<workdir>/PAUSED`` ack and sleeps until PAUSE is removed. On full
   completion the holder calls :func:`clear`.
-- A **client** (bench.py) calls :func:`acquire`, which touches PAUSE
-  in the advertised workdir and waits for the ack (or holder death),
-  then runs its chip work and calls the returned ``release()``.
+- A **client** (bench.py) calls :func:`acquire`, which creates PAUSE
+  atomically (O_EXCL) with its own pid as the content and waits for
+  the ack (or holder death), then runs its chip work and calls the
+  returned ``release()``. The pid content serialises concurrent
+  clients (a second client waits for the first's release) and lets a
+  dead client's leftover token be reclaimed; an *operator* hold
+  (`touch PAUSE`, empty file) is never removed by a client.
 
 The PAUSE file doubles as the between-pass hold used by the build
 wrapper scripts (``run_build.sh`` sleeps while it exists), so a client
