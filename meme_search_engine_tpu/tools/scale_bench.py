@@ -649,6 +649,12 @@ def main(argv=None):
             _s, gt_i = streamed_mips_topk(
                 slabs(), eval_q, 1000, tile=262_144
             )
+        # persist the oracle (queries + top-1000 ids): recall/QPS
+        # tradeoff sweeps over search_list/beamwidth/spec are pure host
+        # work given this file — no need to re-pay the device stream
+        np.savez(
+            os.path.join(wd, "eval_oracle.npz"), queries=eval_q, gt=gt_i
+        )
         # Under --partial-tail the raw recall is bounded above by the
         # coverage fraction (a true neighbour in an unbuilt shard is
         # unreachable by construction), so ALSO score against the

@@ -443,6 +443,17 @@ def test_scale_bench_tool_end_to_end(tmp_path, monkeypatch):
     for p, mt in graph_mtimes.items():
         assert os.path.getmtime(os.path.join(wd, "shards", p)) == mt
 
+    # the persisted oracle powers host-only recall/QPS sweeps: at the
+    # tail's own operating point the sweep must reproduce its recall
+    from meme_search_engine_tpu.tools import recall_sweep
+
+    rows = recall_sweep.main([
+        "--index", os.path.join(wd, "index"),
+        "--oracle", os.path.join(wd, "eval_oracle.npz"),
+        "--search-lists", "64", "--beamwidth", "2", "--queries", "8",
+    ])
+    assert rows[0]["recall_at_20"] == report["eval"]["recall_at_20"]
+
     # --partial-tail with missing shard graphs: the tail re-packs from
     # the surviving graphs, reports honest coverage <1, and scores BOTH
     # raw recall (bounded by coverage) and covered-restricted recall
